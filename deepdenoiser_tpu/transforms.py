@@ -1,0 +1,208 @@
+"""Pure-JAX feature engineering: per-pass normalization and its inverse,
+albedo demodulation, screen-space normal encoding, and the recomposition
+algebra.
+
+Rebuilds the reference's FeatureEngineering layer
+(upstream: TensorFlow/FeatureEngineering.py — SURVEY.md C4) as pure
+functions over NHWC arrays so they fuse into the first conv under XLA and
+can be swapped for the Pallas fused-ingest kernel (ops/fused_ingest.py).
+
+Invariants tested in tests/test_transforms.py:
+  * denormalize(normalize(x)) == x to fp tolerance for every PassKind
+  * remodulate(demodulate(d, albedo), albedo) == d exactly where albedo > eps
+  * recompose(decompose-consistent pass set) == combined
+"""
+
+from __future__ import annotations
+
+from typing import Dict, Mapping, Optional, Sequence
+
+import jax
+import jax.numpy as jnp
+
+from deepdenoiser_tpu import passes
+from deepdenoiser_tpu.passes import LIGHT_GROUPS, PassKind
+
+Array = jax.Array
+
+# Epsilon used for albedo demodulation. Demod/remod by (albedo + EPS) is an
+# exact algebraic round-trip for every albedo value (including 0), unlike a
+# thresholded divide — see SURVEY.md §7 "hard parts".
+DEMOD_EPS = 1e-2
+
+# ---------------------------------------------------------------------------
+# Per-kind scalar normalizations (elementwise; XLA fuses these into convs)
+# ---------------------------------------------------------------------------
+
+
+def _norm_radiance(x: Array) -> Array:
+    return jnp.log1p(jnp.maximum(x, 0.0))
+
+
+def _denorm_radiance(y: Array) -> Array:
+    return jnp.expm1(jnp.maximum(y, 0.0))
+
+
+def _identity(x: Array) -> Array:
+    return x
+
+
+def _norm_normal(x: Array) -> Array:
+    # Screen-space normals arrive in [-1, 1]; clamp against EXR garbage.
+    return jnp.clip(x, -1.0, 1.0)
+
+
+def _norm_alpha(x: Array) -> Array:
+    return jnp.clip(x, 0.0, 1.0)
+
+
+_NORM = {
+    PassKind.RADIANCE: _norm_radiance,
+    PassKind.COLOR: _identity,
+    PassKind.NORMAL: _norm_normal,
+    PassKind.DEPTH: lambda x: jnp.log1p(jnp.maximum(x, 0.0)),
+    PassKind.ALPHA: _norm_alpha,
+}
+
+_DENORM = {
+    PassKind.RADIANCE: _denorm_radiance,
+    PassKind.COLOR: _identity,
+    PassKind.NORMAL: _identity,  # already in representation space
+    PassKind.DEPTH: lambda y: jnp.expm1(jnp.maximum(y, 0.0)),
+    PassKind.ALPHA: _identity,
+}
+
+
+def normalize(pass_name: str, x: Array) -> Array:
+    """Map raw pass values to the network's input representation."""
+    return _NORM[passes.get(pass_name).kind](x)
+
+
+def denormalize(pass_name: str, y: Array) -> Array:
+    """Inverse of `normalize` (up to clamping of invalid raw values)."""
+    return _DENORM[passes.get(pass_name).kind](y)
+
+
+# ---------------------------------------------------------------------------
+# Albedo demodulation
+# ---------------------------------------------------------------------------
+
+
+def demodulate(radiance: Array, albedo: Array, eps: float = DEMOD_EPS) -> Array:
+    """radiance / (albedo + eps): removes texture, leaving illumination.
+
+    The albedo pass is (nearly) noise free, so denoising the demodulated
+    signal and re-multiplying preserves texture detail exactly.
+    """
+    return radiance / (albedo + eps)
+
+
+def remodulate(demod: Array, albedo: Array, eps: float = DEMOD_EPS) -> Array:
+    """Exact inverse of `demodulate` for all albedo values."""
+    return demod * (albedo + eps)
+
+
+# ---------------------------------------------------------------------------
+# Recomposition algebra
+# ---------------------------------------------------------------------------
+
+
+def recompose(
+    pass_dict: Mapping[str, Array],
+    groups: Sequence[str] = LIGHT_GROUPS,
+) -> Array:
+    """combined = Σ_g color_g ⊙ (direct_g + indirect_g) + emission + environment.
+
+    Missing groups/extras are simply skipped, so partial pass sets compose.
+    Alpha is NOT applied here; it is carried alongside for compositing.
+    """
+    combined: Optional[Array] = None
+
+    def acc(c: Optional[Array], t: Array) -> Array:
+        return t if c is None else c + t
+
+    for g in groups:
+        d_name, i_name, c_name = passes.group_passes(g)
+        if d_name in pass_dict and c_name in pass_dict:
+            radiance = pass_dict[d_name]
+            if i_name in pass_dict:
+                radiance = radiance + pass_dict[i_name]
+            combined = acc(combined, pass_dict[c_name] * radiance)
+    for extra in passes.COMPOSITE_EXTRA:
+        if extra in pass_dict:
+            combined = acc(combined, pass_dict[extra])
+    if combined is None:
+        raise ValueError("recompose: no recomposable passes in input")
+    return combined
+
+
+# ---------------------------------------------------------------------------
+# Network-facing feature assembly
+# ---------------------------------------------------------------------------
+
+
+def encode_group_inputs(
+    pass_dict: Mapping[str, Array],
+    group: str,
+    aux: Sequence[str] = passes.AUX_PASSES,
+    eps: float = DEMOD_EPS,
+) -> Array:
+    """Stack the network input for one light group along channels (NHWC):
+
+    [log1p(demod direct), log1p(demod indirect), albedo, normalized aux...]
+    """
+    d_name, i_name, c_name = passes.group_passes(group)
+    albedo = pass_dict[c_name]
+    feats = [
+        _norm_radiance(demodulate(pass_dict[d_name], albedo, eps)),
+        _norm_radiance(demodulate(pass_dict[i_name], albedo, eps)),
+        albedo,
+    ]
+    for a in aux:
+        feats.append(normalize(a, pass_dict[a]))
+    return jnp.concatenate(feats, axis=-1)
+
+
+def decode_group_outputs(
+    net_out: Array,
+    albedo: Array,
+    eps: float = DEMOD_EPS,
+) -> Dict[str, Array]:
+    """Invert encode: net_out is [log demod direct (3), log demod indirect (3)].
+
+    Returns raw-domain {'direct': ..., 'indirect': ...} for the group.
+    """
+    log_d, log_i = net_out[..., 0:3], net_out[..., 3:6]
+    return {
+        "direct": remodulate(_denorm_radiance(log_d), albedo, eps),
+        "indirect": remodulate(_denorm_radiance(log_i), albedo, eps),
+    }
+
+
+def group_input_channels(aux: Sequence[str] = passes.AUX_PASSES) -> int:
+    """Static channel count of encode_group_inputs' output."""
+    return 9 + sum(passes.channels(a) for a in aux)
+
+
+GROUP_OUTPUT_CHANNELS = 6  # denoised log-demod direct + indirect
+
+
+def encode_rgb_inputs(
+    pass_dict: Mapping[str, Array],
+    aux: Sequence[str] = ("normal", "depth"),
+    albedo_key: str = "diffuse_color",
+) -> Array:
+    """Combined-RGB mode input (BASELINE config #1): noisy RGB + albedo + aux."""
+    feats = [_norm_radiance(pass_dict["combined"]), pass_dict[albedo_key]]
+    for a in aux:
+        feats.append(normalize(a, pass_dict[a]))
+    return jnp.concatenate(feats, axis=-1)
+
+
+def decode_rgb_outputs(net_out: Array) -> Array:
+    """Inverse of the combined-RGB encoding: log radiance → radiance."""
+    return _denorm_radiance(net_out)
+
+
+def rgb_input_channels(aux: Sequence[str] = ("normal", "depth")) -> int:
+    return 6 + sum(passes.channels(a) for a in aux)

@@ -1,0 +1,93 @@
+"""Round-trip + format-conformance tests for the pure-numpy EXR codec."""
+
+import struct
+
+import numpy as np
+import pytest
+
+from deepdenoiser_tpu.data import exr, exr_codec
+
+
+@pytest.mark.parametrize("compression", ["none", "zip", "zips"])
+@pytest.mark.parametrize("pixel_type", ["float", "half"])
+def test_roundtrip(tmp_path, compression, pixel_type):
+    rng = np.random.default_rng(0)
+    h, w = 37, 53  # awkward sizes: exercise partial final ZIP block
+    chans = {
+        "R": rng.standard_normal((h, w)).astype(np.float32) * 10,
+        "G": rng.standard_normal((h, w)).astype(np.float32),
+        "B": np.zeros((h, w), np.float32),
+    }
+    p = tmp_path / "t.exr"
+    exr_codec.write(p, chans, pixel_type=pixel_type, compression=compression)
+    img = exr_codec.read(p)
+    assert set(img.channels) == set(chans)
+    for k in chans:
+        want = chans[k].astype(np.float16).astype(np.float32) if pixel_type == "half" else chans[k]
+        np.testing.assert_array_equal(img.channels[k].astype(np.float32), want)
+
+
+def test_header_fields(tmp_path):
+    p = tmp_path / "t.exr"
+    exr_codec.write(p, {"Y": np.ones((20, 30), np.float32)})
+    raw = p.read_bytes()
+    assert struct.unpack_from("<i", raw, 0)[0] == exr_codec.MAGIC
+    assert struct.unpack_from("<i", raw, 4)[0] == 2
+    img = exr_codec.read(p)
+    assert img.attributes["dataWindow"] == (0, 0, 29, 19)
+    assert img.height == 20 and img.width == 30
+
+
+def test_zip_pre_post_inverse():
+    rng = np.random.default_rng(1)
+    data = rng.integers(0, 256, size=1001, dtype=np.uint8).tobytes()
+    enc = exr_codec._zip_split_and_predict(data)
+    dec = exr_codec._zip_unpredict_and_merge(enc)
+    assert dec == data
+
+
+def test_zip_incompressible_stored_raw(tmp_path):
+    # pure noise: deflate won't shrink some blocks; reader must accept raw
+    rng = np.random.default_rng(2)
+    chans = {"Y": rng.standard_normal((64, 64)).astype(np.float32)}
+    p = tmp_path / "n.exr"
+    exr_codec.write(p, chans, compression="zip")
+    img = exr_codec.read(p)
+    np.testing.assert_array_equal(img.channels["Y"], chans["Y"])
+
+
+def test_reject_bad_magic(tmp_path):
+    p = tmp_path / "bad.exr"
+    p.write_bytes(b"not an exr file")
+    with pytest.raises(ValueError):
+        exr_codec.read(p)
+
+
+def test_multilayer_roundtrip(tmp_path):
+    rng = np.random.default_rng(3)
+    passes_dict = {
+        "diffuse_direct": rng.random((12, 15, 3)).astype(np.float32),
+        "depth": rng.random((12, 15, 1)).astype(np.float32) * 50,
+        "alpha": rng.random((12, 15, 1)).astype(np.float32),
+    }
+    p = tmp_path / "ml.exr"
+    exr.save_multilayer_exr(p, passes_dict)
+    loaded = exr.load_multilayer_exr(p)
+    assert set(loaded) == set(passes_dict)
+    for k in passes_dict:
+        np.testing.assert_array_equal(loaded[k], passes_dict[k])
+
+
+def test_multilayer_cycles_layer_names(tmp_path):
+    rng = np.random.default_rng(4)
+    img = {
+        "RenderLayer.DiffDir.R": rng.random((8, 9)).astype(np.float32),
+        "RenderLayer.DiffDir.G": rng.random((8, 9)).astype(np.float32),
+        "RenderLayer.DiffDir.B": rng.random((8, 9)).astype(np.float32),
+        "RenderLayer.Depth.Z": rng.random((8, 9)).astype(np.float32),
+    }
+    p = tmp_path / "cy.exr"
+    exr_codec.write(p, img)
+    loaded = exr.load_multilayer_exr(p)
+    assert set(loaded) == {"diffuse_direct", "depth"}
+    np.testing.assert_array_equal(loaded["diffuse_direct"][..., 0], img["RenderLayer.DiffDir.R"])

@@ -1,0 +1,106 @@
+"""Normalization round-trip, demodulation exactness, recomposition identity
+(SURVEY.md §4.1 — the invariants everything else stands on)."""
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from deepdenoiser_tpu import passes, transforms
+from deepdenoiser_tpu.data import synthetic
+
+
+@pytest.fixture(scope="module")
+def clean():
+    return synthetic.generate_clean_passes(48, 64, seed=7)
+
+
+@pytest.fixture(scope="module")
+def noisy(clean):
+    return synthetic.add_mc_noise(clean, spp=8, seed=3)
+
+
+def test_normalize_roundtrip_all_kinds(clean):
+    for name, x in clean.items():
+        y = transforms.normalize(name, jnp.asarray(x))
+        x2 = transforms.denormalize(name, y)
+        kind = passes.get(name).kind
+        if kind in (passes.PassKind.RADIANCE, passes.PassKind.DEPTH):
+            # fp32 log1p/expm1 round-trip: error ~ x * ulp(log1p(x))
+            np.testing.assert_allclose(np.asarray(x2), x, rtol=5e-4, atol=1e-5)
+        elif kind is passes.PassKind.COLOR:
+            np.testing.assert_array_equal(np.asarray(x2), x)
+        # NORMAL/ALPHA denormalize is identity on the (clamped) representation
+        else:
+            np.testing.assert_allclose(
+                np.asarray(transforms.normalize(name, x2)), np.asarray(y), atol=1e-7
+            )
+
+
+def test_radiance_norm_clamps_negatives():
+    x = jnp.array([-1.0, 0.0, 1.0])
+    y = transforms.normalize("combined", x)
+    assert float(y[0]) == 0.0
+    assert np.isfinite(np.asarray(y)).all()
+
+
+def test_demodulate_exact_roundtrip_incl_black_albedo():
+    rng = np.random.default_rng(0)
+    radiance = jnp.asarray(rng.uniform(0, 10, (16, 16, 3)).astype(np.float32))
+    albedo = jnp.asarray(rng.uniform(0, 1, (16, 16, 3)).astype(np.float32))
+    albedo = albedo.at[:4, :4].set(0.0)  # exactly black region
+    r2 = transforms.remodulate(transforms.demodulate(radiance, albedo), albedo)
+    np.testing.assert_allclose(np.asarray(r2), np.asarray(radiance), rtol=1e-6)
+
+
+def test_recompose_identity_clean(clean):
+    d = {k: jnp.asarray(v) for k, v in clean.items() if k != "combined"}
+    rec = transforms.recompose(d)
+    np.testing.assert_allclose(np.asarray(rec), clean["combined"], rtol=1e-5, atol=1e-5)
+
+
+def test_recompose_identity_noisy(noisy):
+    d = {k: jnp.asarray(v) for k, v in noisy.items() if k != "combined"}
+    rec = transforms.recompose(d)
+    np.testing.assert_allclose(np.asarray(rec), noisy["combined"], rtol=1e-5, atol=1e-5)
+
+
+def test_recompose_partial_groups(clean):
+    d = {k: jnp.asarray(clean[k]) for k in passes.group_passes("diffuse")}
+    rec = np.asarray(transforms.recompose(d, groups=("diffuse",)))
+    want = clean["diffuse_color"] * (clean["diffuse_direct"] + clean["diffuse_indirect"])
+    np.testing.assert_allclose(rec, want, rtol=1e-6)
+
+
+def test_recompose_empty_raises():
+    with pytest.raises(ValueError):
+        transforms.recompose({"normal": jnp.zeros((4, 4, 3))})
+
+
+def test_encode_decode_group_cycle(clean):
+    """decode(encode) on clean data reproduces direct/indirect exactly-ish."""
+    d = {k: jnp.asarray(v) for k, v in clean.items()}
+    x = transforms.encode_group_inputs(d, "glossy")
+    assert x.shape == (48, 64, transforms.group_input_channels())
+    net_out = x[..., :6]  # identity "network": the encoded log-demod signals
+    dec = transforms.decode_group_outputs(net_out, d["glossy_color"])
+    np.testing.assert_allclose(
+        np.asarray(dec["direct"]), clean["glossy_direct"], rtol=1e-3, atol=1e-4
+    )
+    np.testing.assert_allclose(
+        np.asarray(dec["indirect"]), clean["glossy_indirect"], rtol=1e-3, atol=1e-4
+    )
+
+
+def test_rgb_mode_channels(clean):
+    d = {k: jnp.asarray(v) for k, v in clean.items()}
+    x = transforms.encode_rgb_inputs(d)
+    assert x.shape == (48, 64, transforms.rgb_input_channels())
+    y = transforms.decode_rgb_outputs(transforms.normalize("combined", d["combined"]))
+    np.testing.assert_allclose(np.asarray(y), clean["combined"], rtol=5e-4, atol=1e-5)
+
+
+def test_numpy_and_jax_recompose_agree(noisy):
+    d = {k: jnp.asarray(v) for k, v in noisy.items() if k != "combined"}
+    a = np.asarray(transforms.recompose(d))
+    b = synthetic.recompose_np({k: v for k, v in noisy.items() if k != "combined"})
+    np.testing.assert_allclose(a, b, rtol=1e-6)
