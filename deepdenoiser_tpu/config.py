@@ -1,0 +1,145 @@
+"""Typed dataclass configs with JSON round-trip (upstream: argparse flags +
+JSON architecture/training configs loaded by DeepDenoiser.py — SURVEY.md
+C18, L8). One config tree drives all three subcommands
+(train / prepare-data / denoise), keeping the reference's declarative
+spirit: a JSON file fully determines an experiment.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import json
+from pathlib import Path
+from typing import Any, Dict, Optional, Tuple, Type, TypeVar, get_args, get_origin, get_type_hints
+
+from deepdenoiser_tpu.models.factory import ModelConfig
+from deepdenoiser_tpu.ops.losses import LossConfig
+from deepdenoiser_tpu.passes import LIGHT_GROUPS
+
+T = TypeVar("T")
+
+
+@dataclasses.dataclass(frozen=True)
+class DataConfig:
+    """prepare-data + input pipeline settings (SURVEY.md C6, C9, N2)."""
+
+    shard_dir: str = "data/shards"
+    crop: int = 64
+    crops_per_frame: int = 64
+    batch_size: int = 32
+    groups: Tuple[str, ...] = LIGHT_GROUPS
+    mode: str = "group"  # 'group' (per-pass denoise) | 'rgb' (combined mode)
+    group: str = "diffuse"  # which group a 'group'-mode model trains on
+    augment: bool = True
+    shuffle_buffer: int = 2048
+    validation_fraction: float = 0.1
+    seed: int = 0
+
+
+@dataclasses.dataclass(frozen=True)
+class TrainConfig:
+    """Optimizer / schedule / checkpointing (SURVEY.md C16, §5)."""
+
+    steps: int = 10_000
+    learning_rate: float = 2e-4
+    warmup_steps: int = 500
+    schedule: str = "cosine"  # 'cosine' | 'constant'
+    weight_decay: float = 0.0
+    beta1: float = 0.9
+    beta2: float = 0.999
+    grad_clip_norm: float = 1.0
+    ema_decay: float = 0.0  # >0 keeps a param EMA for eval
+    checkpoint_dir: str = "checkpoints"
+    checkpoint_every: int = 1000
+    keep_checkpoints: int = 3
+    log_every: int = 100
+    eval_every: int = 1000
+    data_parallel: bool = True  # shard batch over the mesh 'data' axis
+    loss: LossConfig = dataclasses.field(default_factory=LossConfig)
+
+
+@dataclasses.dataclass(frozen=True)
+class InferenceConfig:
+    """Tiled full-frame inference (SURVEY.md N4, BASELINE configs 2/3/5)."""
+
+    tile: int = 256  # core tile size (pre-halo)
+    tile_batch: int = 0  # 0 = all tiles in one device batch
+    halo: int = 0  # 0 = derive from the model's certified RF bound
+    compute_dtype: str = "bfloat16"
+    spatial_shard: bool = False  # shard tile rows over the mesh (multi-chip)
+
+
+@dataclasses.dataclass(frozen=True)
+class ExperimentConfig:
+    name: str = "default"
+    model: ModelConfig = dataclasses.field(default_factory=ModelConfig)
+    data: DataConfig = dataclasses.field(default_factory=DataConfig)
+    train: TrainConfig = dataclasses.field(default_factory=TrainConfig)
+    infer: InferenceConfig = dataclasses.field(default_factory=InferenceConfig)
+
+
+# ---------------------------------------------------------------------------
+# Generic dataclass <-> JSON
+# ---------------------------------------------------------------------------
+
+
+def to_dict(cfg: Any) -> Dict[str, Any]:
+    return dataclasses.asdict(cfg)
+
+
+def _from_dict(cls: Type[T], d: Any) -> T:
+    if not dataclasses.is_dataclass(cls):
+        origin = get_origin(cls)
+        if origin in (tuple, Tuple) or cls is tuple:
+            args = get_args(cls)
+            if args and args[-1] is Ellipsis:
+                return tuple(_from_dict(args[0], v) for v in d)  # type: ignore
+            return tuple(d)  # type: ignore
+        return d  # primitives pass through
+    hints = get_type_hints(cls)
+    kwargs = {}
+    fields = {f.name: f for f in dataclasses.fields(cls)}
+    for key, val in d.items():
+        if key not in fields:
+            raise KeyError(f"{cls.__name__}: unknown config key {key!r}")
+        kwargs[key] = _from_dict(hints[key], val)
+    return cls(**kwargs)  # type: ignore
+
+
+def from_dict(cls: Type[T], d: Dict[str, Any]) -> T:
+    return _from_dict(cls, d)
+
+
+def save(cfg: Any, path: str | Path) -> None:
+    Path(path).parent.mkdir(parents=True, exist_ok=True)
+    Path(path).write_text(json.dumps(to_dict(cfg), indent=2) + "\n")
+
+
+def load(path: str | Path, cls: Type[T] = ExperimentConfig) -> T:
+    return from_dict(cls, json.loads(Path(path).read_text()))
+
+
+# Preset experiment configs mirroring the reference's shipped JSON presets.
+PRESETS: Dict[str, ExperimentConfig] = {
+    "unet-small": ExperimentConfig(
+        name="unet-small",
+        model=ModelConfig(backbone="unet", base_width=32, depth=3, n_scales=1),
+    ),
+    "unet-multiscale": ExperimentConfig(
+        name="unet-multiscale",
+        model=ModelConfig(backbone="unet", base_width=48, depth=3, n_scales=3),
+    ),
+    "tiramisu": ExperimentConfig(
+        name="tiramisu",
+        model=ModelConfig(
+            backbone="tiramisu", growth_rate=16, layers_per_block=4, depth=3
+        ),
+    ),
+    "kpn": ExperimentConfig(
+        name="kpn",
+        model=ModelConfig(
+            backbone="unet", base_width=48, depth=3, kernel_prediction=True,
+            kpn_size=5, kpn_slots=2,
+        ),
+    ),
+}

@@ -1,0 +1,149 @@
+"""Grain input pipeline (upstream: tf.data input_fn in DeepDenoiser.py —
+SURVEY.md C9; rebuild N2): shard reader -> deterministic global shuffle ->
+D4 augmentation -> batch, with per-host sharding and checkpointable
+iterator state.
+
+The loader emits RAW pass crops; normalization/demodulation/encoding runs
+on-device inside the jitted train step (make_batch_encoder) so it fuses
+with the first conv — host CPU stays out of the hot path (and the Pallas
+fused-ingest kernel, ops/fused_ingest.py, can replace it transparently).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Any, Dict, Iterator, Mapping, Optional, Sequence, Tuple
+
+import grain
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from deepdenoiser_tpu import passes, transforms
+from deepdenoiser_tpu.config import DataConfig
+from deepdenoiser_tpu.data import augment, shards
+
+Array = jax.Array
+
+
+class _AugmentD4(grain.transforms.RandomMap):
+    def random_map(self, example, rng: np.random.Generator):
+        return augment.augment_example(example, rng)
+
+
+def make_dataset(
+    shard_dir: str,
+    cfg: DataConfig,
+    training: bool = True,
+    host_count: int = 1,
+    host_index: int = 0,
+    drop_remainder: bool = True,
+):
+    """grain.MapDataset pipeline over a shard dir.
+
+    Deterministic: (cfg.seed, epoch) fully determine order and
+    augmentations. Per-host sharding slices the global index space so DP
+    hosts see disjoint data (SURVEY.md §2b).
+    """
+    reader = shards.ShardReader(shard_dir)
+    ds = grain.MapDataset.source(reader)
+    ds = ds[host_index::host_count]  # per-host shard of the index space
+    ds = ds.seed(cfg.seed)
+    if training:
+        ds = ds.shuffle()
+        if cfg.augment:
+            ds = ds.random_map(_AugmentD4())
+    ds = ds.batch(cfg.batch_size, drop_remainder=drop_remainder)
+    return ds
+
+
+def make_iterator(
+    shard_dir: str,
+    cfg: DataConfig,
+    training: bool = True,
+    host_count: int = 1,
+    host_index: int = 0,
+) -> Iterator[Dict[str, np.ndarray]]:
+    """Infinite (training) or single-epoch (eval) batch iterator.
+
+    The returned grain iterator supports get_state()/set_state() for
+    checkpointable resume (SURVEY.md §5 failure recovery).
+    """
+    ds = make_dataset(shard_dir, cfg, training, host_count, host_index)
+    if training:
+        ds = ds.repeat()
+    return iter(ds.to_iter_dataset())
+
+
+# ---------------------------------------------------------------------------
+# On-device batch encoding (raw pass crops -> network tensors)
+# ---------------------------------------------------------------------------
+
+
+def _src(batch: Mapping[str, Array], name: str) -> Array:
+    return batch[f"{shards.SOURCE_PREFIX}/{name}"]
+
+
+def _tgt(batch: Mapping[str, Array], name: str) -> Array:
+    return batch[f"{shards.TARGET_PREFIX}/{name}"]
+
+
+def make_batch_encoder(cfg: DataConfig, aux: Sequence[str] = passes.AUX_PASSES):
+    """Returns encode(batch_of_raw_crops) -> {'x','y'} (jit-safe, pure).
+
+    group mode: x = encoded noisy group inputs (log-demod direct/indirect,
+    albedo, aux); y = clean direct/indirect encoded with the SAME (noisy)
+    albedo, so the demod/remod round-trip at inference reuses the albedo
+    the network saw.
+    rgb mode: x = encoded noisy combined + albedo + aux; y = log combined.
+    """
+    aux = tuple(aux)
+
+    if cfg.mode == "group":
+        group = cfg.group
+        d_name, i_name, c_name = passes.group_passes(group)
+
+        def encode(batch: Mapping[str, Array]) -> Dict[str, Array]:
+            src = {name: _src(batch, name) for name in
+                   list(passes.group_passes(group)) + list(aux)}
+            x = transforms.encode_group_inputs(src, group, aux)
+            albedo = src[c_name]
+            y = jnp.concatenate(
+                [
+                    transforms.normalize(
+                        d_name, transforms.demodulate(_tgt(batch, d_name), albedo)
+                    ),
+                    transforms.normalize(
+                        i_name, transforms.demodulate(_tgt(batch, i_name), albedo)
+                    ),
+                ],
+                axis=-1,
+            )
+            return {"x": x, "y": y}
+
+        return encode
+
+    if cfg.mode == "rgb":
+
+        def encode_rgb(batch: Mapping[str, Array]) -> Dict[str, Array]:
+            src = {name: _src(batch, name) for name in
+                   ["combined", "diffuse_color"] + list(aux)}
+            x = transforms.encode_rgb_inputs(
+                src, aux=tuple(a for a in aux if a != "alpha")
+            )
+            y = transforms.normalize("combined", _tgt(batch, "combined"))
+            return {"x": x, "y": y}
+
+        return encode_rgb
+
+    raise ValueError(f"unknown data mode {cfg.mode!r}")
+
+
+def input_channels(cfg: DataConfig, aux: Sequence[str] = passes.AUX_PASSES) -> int:
+    if cfg.mode == "group":
+        return transforms.group_input_channels(tuple(aux))
+    return transforms.rgb_input_channels(tuple(a for a in aux if a != "alpha"))
+
+
+def output_channels(cfg: DataConfig) -> int:
+    return transforms.GROUP_OUTPUT_CHANNELS if cfg.mode == "group" else 3

@@ -1,0 +1,135 @@
+"""Full-frame multi-pass denoising pipeline (BASELINE configs 2/3/5;
+upstream: the denoise call stack of SURVEY.md §3.3).
+
+ONE jitted program per frame geometry does everything on-device:
+  normalize/demodulate every light group  →  stack groups into one tile
+  batch (4x the MXU work per dispatch)    →  tiled CNN forward
+  →  inverse transforms (remodulate, expm1)  →  recomposition
+  Σ color⊙(direct+indirect) + emission + environment  →  final RGB.
+
+The host only supplies raw pass buffers and receives the denoised frame —
+no per-tile dispatch, no host-side recomposition (SURVEY.md §3.3 "rebuild").
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+from typing import Dict, Mapping, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from deepdenoiser_tpu import passes, transforms
+from deepdenoiser_tpu.config import InferenceConfig
+from deepdenoiser_tpu.inference import tiled
+from deepdenoiser_tpu.models import factory
+from deepdenoiser_tpu.models.factory import ModelConfig
+
+Array = jax.Array
+
+
+def _make_apply(model_cfg: ModelConfig, params, compute_dtype: str):
+    model = factory.build_model(
+        dataclasses.replace(model_cfg, compute_dtype=compute_dtype)
+    )
+    def apply_fn(x: Array) -> Array:
+        return model.apply(params, x)
+    return apply_fn
+
+
+def plan_for(
+    model_cfg: ModelConfig, infer_cfg: InferenceConfig, height: int, width: int
+) -> tiled.TileGrid:
+    halo = infer_cfg.halo if infer_cfg.halo > 0 else factory.halo(model_cfg)
+    return tiled.plan_grid(
+        height, width, infer_cfg.tile, halo, factory.spatial_multiple(model_cfg)
+    )
+
+
+def make_group_frame_denoiser(
+    model_cfg: ModelConfig,
+    infer_cfg: InferenceConfig,
+    height: int,
+    width: int,
+    groups: Sequence[str] = passes.LIGHT_GROUPS,
+    aux: Sequence[str] = passes.AUX_PASSES,
+):
+    """Jitted fn: params, {pass_name: (H,W,C)} -> outputs dict.
+
+    Outputs: denoised '<g>_direct'/'<g>_indirect' for each group, plus
+    'combined' recomposited on-device (emission/environment/alpha passed
+    through — they are near noise-free in Cycles).
+    """
+    grid = plan_for(model_cfg, infer_cfg, height, width)
+    groups = tuple(groups)
+    aux = tuple(aux)
+
+    @jax.jit
+    def denoise(params, pass_dict: Mapping[str, Array]) -> Dict[str, Array]:
+        apply_fn = _make_apply(model_cfg, params, infer_cfg.compute_dtype)
+        frame_fn = tiled.make_tiled_apply(
+            apply_fn, grid, transforms.GROUP_OUTPUT_CHANNELS,
+            tile_batch=infer_cfg.tile_batch, batch_dims=1,
+        )
+        # Encode all groups, stack along a leading batch axis.
+        enc = jnp.stack(
+            [transforms.encode_group_inputs(pass_dict, g, aux) for g in groups], 0
+        )
+        dec = frame_fn(enc)  # (G, H, W, 6) log-demod direct+indirect
+
+        out: Dict[str, Array] = {}
+        for i, g in enumerate(groups):
+            d_name, i_name, c_name = passes.group_passes(g)
+            decoded = transforms.decode_group_outputs(dec[i], pass_dict[c_name])
+            out[d_name] = decoded["direct"]
+            out[i_name] = decoded["indirect"]
+            out[c_name] = pass_dict[c_name]
+        for extra in passes.COMPOSITE_EXTRA + ("alpha",):
+            if extra in pass_dict:
+                out[extra] = pass_dict[extra]
+        out["combined"] = transforms.recompose(out, groups)
+        return out
+
+    return denoise, grid
+
+
+def make_rgb_frame_denoiser(
+    model_cfg: ModelConfig,
+    infer_cfg: InferenceConfig,
+    height: int,
+    width: int,
+    aux: Sequence[str] = ("normal", "depth"),
+    albedo_key: str = "diffuse_color",
+):
+    """Jitted fn for combined-RGB mode (BASELINE config #1 path at frame
+    scale): noisy combined + albedo + aux -> denoised combined."""
+    grid = plan_for(model_cfg, infer_cfg, height, width)
+    aux = tuple(aux)
+
+    @jax.jit
+    def denoise(params, pass_dict: Mapping[str, Array]) -> Dict[str, Array]:
+        apply_fn = _make_apply(model_cfg, params, infer_cfg.compute_dtype)
+        frame_fn = tiled.make_tiled_apply(
+            apply_fn, grid, 3, tile_batch=infer_cfg.tile_batch, batch_dims=0
+        )
+        enc = transforms.encode_rgb_inputs(pass_dict, aux, albedo_key)
+        out = frame_fn(enc)
+        return {"combined": transforms.decode_rgb_outputs(out)}
+
+    return denoise, grid
+
+
+def denoise_crop(
+    model_cfg: ModelConfig,
+    params,
+    pass_dict: Mapping[str, Array],
+    aux: Sequence[str] = ("normal", "depth"),
+    albedo_key: str = "diffuse_color",
+) -> Array:
+    """BASELINE config #1: single-crop RGB denoise, no tiling (crop must be
+    divisible by the model's spatial multiple). CPU-friendly."""
+    model = factory.build_model(model_cfg)
+    enc = transforms.encode_rgb_inputs(pass_dict, tuple(aux), albedo_key)[None]
+    out = model.apply(params, enc)[0]
+    return transforms.decode_rgb_outputs(out)

@@ -1,0 +1,92 @@
+"""Kernel-predicting head (upstream: TensorFlow/KernelPrediction.py — SURVEY.md C14).
+
+KPCN-style: instead of regressing radiance directly, the backbone emits
+per-pixel k×k filter logits; a softmax normalizes them (guaranteeing the
+output is a convex combination of noisy neighbors — unconditionally stable
+and energy preserving), and the filter is applied to the noisy signal.
+
+The application is implemented as extract-patches (lax.conv_general_
+dilated_patches, which XLA lowers to an efficient im2col on TPU) followed
+by an einsum — all MXU/VPU work, no gathers.
+"""
+
+from __future__ import annotations
+
+from typing import Any
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+Array = jax.Array
+
+
+def apply_per_pixel_kernels(noisy: Array, weights: Array, kernel_size: int) -> Array:
+    """Filter `noisy` (N,H,W,C) with per-pixel weights (N,H,W,k*k).
+
+    Weights are applied to every channel of `noisy` (one spatial kernel
+    shared across channels, as in KPCN).
+    """
+    n, h, w, c = noisy.shape
+    k2 = kernel_size * kernel_size
+    assert weights.shape == (n, h, w, k2), (weights.shape, (n, h, w, k2))
+    pad = kernel_size // 2
+    # Patches: output channel layout is C * k * k ("channels-first" over the
+    # patch dims: index = c * k2 + dy * k + dx) with feature_group_count=C.
+    patches = jax.lax.conv_general_dilated_patches(
+        noisy,
+        filter_shape=(kernel_size, kernel_size),
+        window_strides=(1, 1),
+        padding=((pad, pad), (pad, pad)),
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        precision=jax.lax.Precision.HIGHEST,  # identity extraction must be exact
+    )
+    patches = patches.reshape(n, h, w, c, k2)
+    # HIGHEST precision: the filter application must not round through bf16,
+    # or convex-combination identities (and PSNR parity) break.
+    return jnp.einsum(
+        "nhwck,nhwk->nhwc", patches, weights, precision=jax.lax.Precision.HIGHEST
+    )
+
+
+class KernelPredictionHead(nn.Module):
+    """Wraps a backbone: backbone features → softmax k×k kernels → filter.
+
+    `signal_channels` selects which leading channels of the raw input are
+    the noisy signal to filter (the rest are auxiliary features). If the
+    signal is a stack of passes (e.g. demod direct + indirect = 6ch), one
+    kernel field is predicted per 3-channel slot (`n_slots`).
+    """
+
+    backbone: nn.Module
+    kernel_size: int = 5
+    n_slots: int = 1
+    dtype: Any = jnp.float32
+    param_dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: Array, signal: Array) -> Array:
+        k2 = self.kernel_size * self.kernel_size
+        feats = self.backbone(x)  # (N,H,W,n_slots*k2) — backbone out_channels must match
+        assert feats.shape[-1] == self.n_slots * k2, (
+            f"backbone must emit {self.n_slots * k2} channels, got {feats.shape[-1]}"
+        )
+        assert signal.shape[-1] == 3 * self.n_slots, (
+            f"signal must have {3 * self.n_slots} channels, got {signal.shape[-1]}"
+        )
+        outs = []
+        for s in range(self.n_slots):
+            logits = feats[..., s * k2 : (s + 1) * k2].astype(jnp.float32)
+            weights = jax.nn.softmax(logits, axis=-1)
+            outs.append(
+                apply_per_pixel_kernels(
+                    signal[..., 3 * s : 3 * (s + 1)].astype(jnp.float32),
+                    weights,
+                    self.kernel_size,
+                )
+            )
+        return jnp.concatenate(outs, axis=-1)
+
+
+def kpn_receptive_field(backbone_rf: int, kernel_size: int) -> int:
+    return backbone_rf + kernel_size - 1

@@ -1,0 +1,222 @@
+"""Shared conv building blocks (upstream: TensorFlow/Conv2dUtilities.py — SURVEY.md C10).
+
+Everything is NHWC (the TPU-native conv layout), supports a bfloat16
+compute dtype with float32 params, and uses ops XLA fuses well:
+conv + bias + activation chains, stride-2 convs for downsampling, and
+nearest-resize + conv for upsampling (no transposed-conv checkerboard,
+and resize lowers to a cheap gather on TPU).
+
+Receptive-field accounting: every block exposes its (kernel, stride)
+footprint through the `rf` helpers so architectures can compute their
+exact receptive field analytically — the tiling engine (inference/tiled.py)
+derives halo widths from it, making the seam-free guarantee provable
+instead of eyeballed (SURVEY.md §7 "hard parts").
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import math
+from fractions import Fraction
+from typing import Any, Callable, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+Array = jax.Array
+Dtype = Any
+
+ACTIVATIONS: dict[str, Callable[[Array], Array]] = {
+    "relu": nn.relu,
+    "leaky_relu": lambda x: nn.leaky_relu(x, negative_slope=0.2),
+    "elu": nn.elu,
+    "gelu": nn.gelu,
+    "silu": nn.silu,
+    "none": lambda x: x,
+}
+
+
+def activation(name: str) -> Callable[[Array], Array]:
+    try:
+        return ACTIVATIONS[name]
+    except KeyError as e:
+        raise KeyError(f"unknown activation {name!r}; known: {sorted(ACTIVATIONS)}") from e
+
+
+# ---------------------------------------------------------------------------
+# Receptive-field algebra
+# ---------------------------------------------------------------------------
+
+
+@dataclasses.dataclass(frozen=True)
+class RFState:
+    """Certified per-side receptive-field bounds along one spatial axis.
+
+    An output pixel p depends on input pixels within [a*p - bl, a*p + br]
+    where `a` is the coordinate scale (jump). We compose ops with interval
+    arithmetic, using the EXACT padding conventions of this codebase:
+
+      conv(k) stride 1, SAME, odd k  -> centered window, ±(k-1)/2 * a
+      down_conv(k) stride 2, SAME    -> XLA pads low=pad_total//2; for even
+                                        inputs and k=3 pad_total=1 so the
+                                        window is [2p, 2p+2]: RIGHT-reaching
+      pool2 (reshape-mean, k=s=2)    -> window [2p, 2p+1]: right-reaching
+      upsample2 (nearest, floor p/2) -> LEFT-biased by up to one new pixel
+
+    The asymmetry is real (measured in tests/test_models.py) — a centered
+    r/2 halo under-covers one side and seams appear. Halo sizing must use
+    max(bl, br), which `halo` provides.
+
+    Fractions keep the arithmetic exact until the final ceil.
+    """
+
+    a: Fraction = Fraction(1)
+    bl: Fraction = Fraction(0)
+    br: Fraction = Fraction(0)
+
+    def conv(self, kernel: int, stride: int = 1) -> "RFState":
+        if stride == 1:
+            assert kernel % 2 == 1, "stride-1 convs assumed odd (SAME centered)"
+            d = Fraction(kernel - 1, 2) * self.a
+            return RFState(self.a, self.bl + d, self.br + d)
+        if stride == 2:
+            return self.down_conv(kernel)
+        raise NotImplementedError(f"stride {stride}")
+
+    def down_conv(self, kernel: int) -> "RFState":
+        # XLA SAME, stride 2, even input: pad_low = (k-2)//2, window
+        # [2p - pad_low, 2p - pad_low + k - 1].
+        pad_low = (kernel - 2) // 2
+        lo = -pad_low
+        hi = kernel - 1 - pad_low
+        return RFState(
+            self.a * 2, self.bl - lo * self.a, self.br + hi * self.a
+        )
+
+    def pool(self, kernel: int, stride: Optional[int] = None) -> "RFState":
+        s = stride if stride is not None else kernel
+        assert s == kernel == 2, "only 2x2/2 pooling used"
+        # reshape-mean window [2p, 2p+1]
+        return RFState(self.a * 2, self.bl, self.br + self.a)
+
+    def upsample(self, factor: int) -> "RFState":
+        assert factor == 2, "only 2x nearest upsampling used"
+        # q = floor(p/2) in [(p-1)/2, p/2]
+        a2 = self.a / 2
+        return RFState(a2, self.bl + a2, self.br)
+
+    def max_with(self, other: "RFState") -> "RFState":
+        """Combine parallel paths (skip connections / pyramid scales)."""
+        return RFState(self.a, max(self.bl, other.bl), max(self.br, other.br))
+
+    @property
+    def r(self) -> int:
+        """Total receptive-field span in input pixels."""
+        return math.ceil(self.bl + self.br) + 1
+
+    @property
+    def halo(self) -> int:
+        """Certified one-sided halo (input pixels) for seam-free tiling."""
+        return math.ceil(max(self.bl, self.br))
+
+
+# ---------------------------------------------------------------------------
+# Blocks
+# ---------------------------------------------------------------------------
+
+
+class ConvBlock(nn.Module):
+    """kxk conv + bias + activation. XLA fuses the chain into one kernel."""
+
+    features: int
+    kernel: int = 3
+    stride: int = 1
+    act: str = "relu"
+    dtype: Dtype = jnp.float32
+    param_dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: Array) -> Array:
+        x = nn.Conv(
+            self.features,
+            (self.kernel, self.kernel),
+            strides=(self.stride, self.stride),
+            padding="SAME",
+            dtype=self.dtype,
+            param_dtype=self.param_dtype,
+        )(x)
+        return activation(self.act)(x)
+
+
+class ConvStack(nn.Module):
+    """n_convs back-to-back ConvBlocks at fixed width."""
+
+    features: int
+    n_convs: int = 2
+    kernel: int = 3
+    act: str = "relu"
+    dtype: Dtype = jnp.float32
+    param_dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: Array) -> Array:
+        for _ in range(self.n_convs):
+            x = ConvBlock(
+                self.features, self.kernel, act=self.act,
+                dtype=self.dtype, param_dtype=self.param_dtype,
+            )(x)
+        return x
+
+
+class DownSample(nn.Module):
+    """Stride-2 conv downsample (keeps everything on the MXU)."""
+
+    features: int
+    kernel: int = 3
+    act: str = "relu"
+    dtype: Dtype = jnp.float32
+    param_dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: Array) -> Array:
+        return ConvBlock(
+            self.features, self.kernel, stride=2, act=self.act,
+            dtype=self.dtype, param_dtype=self.param_dtype,
+        )(x)
+
+
+def nearest_upsample(x: Array, factor: int = 2) -> Array:
+    """Nearest-neighbor 2x upsample via reshape-broadcast (cheap on TPU;
+    avoids gather). NHWC."""
+    n, h, w, c = x.shape
+    x = x[:, :, None, :, None, :]
+    x = jnp.broadcast_to(x, (n, h, factor, w, factor, c))
+    return x.reshape(n, h * factor, w * factor, c)
+
+
+class UpSample(nn.Module):
+    """Nearest-resize + conv upsample (no checkerboard artifacts)."""
+
+    features: int
+    kernel: int = 3
+    act: str = "relu"
+    factor: int = 2
+    dtype: Dtype = jnp.float32
+    param_dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: Array) -> Array:
+        x = nearest_upsample(x, self.factor)
+        return ConvBlock(
+            self.features, self.kernel, act=self.act,
+            dtype=self.dtype, param_dtype=self.param_dtype,
+        )(x)
+
+
+def avg_downsample(x: Array, factor: int = 2) -> Array:
+    """Average-pool downsample used to build input pyramids. NHWC."""
+    n, h, w, c = x.shape
+    assert h % factor == 0 and w % factor == 0, (h, w, factor)
+    x = x.reshape(n, h // factor, factor, w // factor, factor, c)
+    return x.mean(axis=(2, 4))

@@ -1,0 +1,105 @@
+"""U-Net backbone (upstream: TensorFlow/UNet.py — SURVEY.md C11).
+
+Encoder/decoder with skip connections; configurable depth/width/activation.
+NHWC, bf16-capable, stride-2 conv down / resize-conv up so every FLOP-heavy
+op lands on the MXU. Spatial dims must be divisible by 2**depth (the tiling
+engine pads tiles to satisfy this — static shapes, no dynamic padding).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Any, Tuple
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+from deepdenoiser_tpu.models import layers
+from deepdenoiser_tpu.models.layers import RFState
+
+Array = jax.Array
+
+
+@dataclasses.dataclass(frozen=True)
+class UNetSpec:
+    base_width: int = 64
+    depth: int = 3  # number of downsamplings
+    convs_per_level: int = 2
+    kernel: int = 3
+    act: str = "relu"
+    width_growth: float = 2.0  # channel multiplier per level
+    max_width: int = 512
+
+    def width(self, level: int) -> int:
+        return min(int(self.base_width * self.width_growth**level), self.max_width)
+
+    def rf_state(self, s: RFState = RFState()) -> RFState:
+        """Per-side RF bounds of the deepest encoder→bottleneck→decoder path
+        (the widest path; skip paths are subsets of it)."""
+        for _ in range(self.convs_per_level):  # stem level
+            s = s.conv(self.kernel)
+        for _ in range(self.depth):  # encoder
+            s = s.down_conv(self.kernel)  # DownSample (stride-2, XLA SAME)
+            for _ in range(self.convs_per_level):
+                s = s.conv(self.kernel)
+        for _ in range(self.depth):  # decoder
+            s = s.upsample(2).conv(self.kernel)  # UpSample conv
+            for _ in range(self.convs_per_level):
+                s = s.conv(self.kernel)
+        return s
+
+    def receptive_field(self) -> int:
+        return self.rf_state().r
+
+    @property
+    def spatial_multiple(self) -> int:
+        return 2**self.depth
+
+
+class UNet(nn.Module):
+    """features-in → out_channels-out U-Net. Output layer is linear."""
+
+    spec: UNetSpec
+    out_channels: int
+    dtype: Any = jnp.float32
+    param_dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: Array) -> Array:
+        spec = self.spec
+        kw = dict(dtype=self.dtype, param_dtype=self.param_dtype)
+        n, h, w, _ = x.shape
+        m = spec.spatial_multiple
+        assert h % m == 0 and w % m == 0, (
+            f"UNet input {h}x{w} must be divisible by {m}; pad tiles first"
+        )
+
+        x = x.astype(self.dtype)
+        # Stem
+        x = layers.ConvStack(
+            spec.width(0), spec.convs_per_level, spec.kernel, spec.act, **kw
+        )(x)
+
+        # Encoder
+        skips = []
+        for level in range(1, spec.depth + 1):
+            skips.append(x)
+            x = layers.DownSample(spec.width(level), spec.kernel, spec.act, **kw)(x)
+            x = layers.ConvStack(
+                spec.width(level), spec.convs_per_level, spec.kernel, spec.act, **kw
+            )(x)
+
+        # Decoder
+        for level in range(spec.depth - 1, -1, -1):
+            x = layers.UpSample(spec.width(level), spec.kernel, spec.act, **kw)(x)
+            x = jnp.concatenate([x, skips[level]], axis=-1)
+            x = layers.ConvStack(
+                spec.width(level), spec.convs_per_level, spec.kernel, spec.act, **kw
+            )(x)
+
+        # Linear head, fp32 output for stable losses/inverse-transforms
+        out = nn.Conv(
+            self.out_channels, (1, 1), dtype=self.dtype, param_dtype=self.param_dtype
+        )(x)
+        return out.astype(jnp.float32)

@@ -3,22 +3,20 @@
 This is the TPU-native analogue of a fake distributed backend (SURVEY.md §4.5):
 8 host devices exercise the real psum/ppermute/all_gather collectives of the
 data-parallel and halo-exchange paths deterministically, with no TPU attached.
-Must run before anything imports jax.
+
+NOTE: this environment's sitecustomize imports jax and registers the axon
+TPU plugin before any user code, and exports JAX_PLATFORMS=axon — so env
+vars set here are too late. jax.config.update still works because backends
+are not *initialized* until first use, so we override through the config.
 """
 
-import os
+import jax
+import pytest
 
-os.environ["JAX_PLATFORMS"] = "cpu"
-flags = os.environ.get("XLA_FLAGS", "")
-if "xla_force_host_platform_device_count" not in flags:
-    os.environ["XLA_FLAGS"] = (
-        flags + " --xla_force_host_platform_device_count=8"
-    ).strip()
-# fp32 matmuls on CPU for numerics tests
-os.environ.setdefault("JAX_DEFAULT_MATMUL_PRECISION", "highest")
-
-import jax  # noqa: E402
-import pytest  # noqa: E402
+jax.config.update("jax_platforms", "cpu")
+jax.config.update("jax_num_cpu_devices", 8)
+# fp32 matmuls on CPU for numerics tests (XLA CPU rounds via bf16 otherwise)
+jax.config.update("jax_default_matmul_precision", "highest")
 
 
 @pytest.fixture(scope="session")

@@ -1,0 +1,196 @@
+"""Model-zoo tests: shapes/dtypes, analytic-vs-empirical receptive field,
+KPN correctness (SURVEY.md §4.3).
+
+The receptive-field tests are load-bearing: the tiled inference engine
+derives halo widths from the analytic RF, so `measured <= analytic` is
+exactly the seam-free guarantee.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from deepdenoiser_tpu.models import factory, kpn, layers, multiscale
+from deepdenoiser_tpu.models.factory import ModelConfig
+from deepdenoiser_tpu.models.tiramisu import Tiramisu, TiramisuSpec
+from deepdenoiser_tpu.models.unet import UNet, UNetSpec
+
+
+def tiny_unet_cfg(**kw):
+    d = dict(backbone="unet", in_channels=8, out_channels=6, base_width=8,
+             depth=2, convs_per_level=1, act="leaky_relu")
+    d.update(kw)
+    return ModelConfig(**d)
+
+
+def _forward(cfg, spatial=64, seed=0):
+    model = factory.build_model(cfg)
+    rng = jax.random.PRNGKey(seed)
+    x = jax.random.normal(jax.random.PRNGKey(1), (2, spatial, spatial, cfg.in_channels))
+    params = model.init(rng, x)
+    y = model.apply(params, x)
+    return x, y, params, model
+
+
+def test_unet_shapes():
+    cfg = tiny_unet_cfg()
+    x, y, params, _ = _forward(cfg)
+    assert y.shape == (2, 64, 64, 6)
+    assert y.dtype == jnp.float32
+
+
+def test_unet_bf16_compute():
+    cfg = tiny_unet_cfg(compute_dtype="bfloat16")
+    _, y, _, _ = _forward(cfg, spatial=32)
+    assert y.dtype == jnp.float32
+    assert np.isfinite(np.asarray(y)).all()
+
+
+def test_tiramisu_shapes():
+    cfg = ModelConfig(backbone="tiramisu", in_channels=8, out_channels=6,
+                      growth_rate=4, layers_per_block=2, depth=2, act="leaky_relu")
+    _, y, _, _ = _forward(cfg, spatial=32)
+    assert y.shape == (2, 32, 32, 6)
+
+
+def test_multiscale_shapes():
+    cfg = tiny_unet_cfg(n_scales=2)
+    _, y, _, _ = _forward(cfg, spatial=64)
+    assert y.shape == (2, 64, 64, 6)
+
+
+def test_kpn_shapes():
+    cfg = tiny_unet_cfg(kernel_prediction=True, kpn_size=3, kpn_slots=2)
+    _, y, _, _ = _forward(cfg, spatial=32)
+    assert y.shape == (2, 32, 32, 6)
+
+
+def test_unet_requires_divisible_input():
+    cfg = tiny_unet_cfg()
+    model = factory.build_model(cfg)
+    x = jnp.zeros((1, 30, 30, cfg.in_channels))
+    with pytest.raises(AssertionError):
+        model.init(jax.random.PRNGKey(0), x)
+
+
+def test_init_deterministic():
+    cfg = tiny_unet_cfg()
+    p1 = factory.init_params(cfg, jax.random.PRNGKey(7), spatial=16)
+    p2 = factory.init_params(cfg, jax.random.PRNGKey(7), spatial=16)
+    jax.tree.map(lambda a, b: np.testing.assert_array_equal(a, b), p1, p2)
+
+
+# ---------------------------------------------------------------------------
+# Receptive field: measured <= analytic (the seam-free invariant)
+# ---------------------------------------------------------------------------
+
+
+def _measured_reach(apply_fn, in_channels, spatial):
+    """Perturb the center pixel; return the max one-sided reach (pixels) of
+    the output change — the quantity a seam-free halo must cover."""
+    key = jax.random.PRNGKey(3)
+    x = jax.random.normal(key, (1, spatial, spatial, in_channels))
+    y0 = apply_fn(x)
+    c = spatial // 2
+    x2 = x.at[0, c, c, :].add(10.0)
+    y1 = apply_fn(x2)
+    diff = np.abs(np.asarray(y1 - y0)).sum(axis=(0, 3))
+    ys, xs = np.nonzero(diff > 1e-6)
+    assert len(ys) > 0, "perturbation had no effect — dead net?"
+    return int(max(np.abs(ys - c).max(), np.abs(xs - c).max()))
+
+
+@pytest.mark.parametrize(
+    "spec",
+    [
+        UNetSpec(base_width=4, depth=1, convs_per_level=1, act="elu"),
+        UNetSpec(base_width=4, depth=2, convs_per_level=2, act="elu"),
+    ],
+)
+def test_unet_halo_bound(spec):
+    halo = spec.rf_state().halo
+    spatial = 64 if halo < 28 else 128
+    model = UNet(spec, out_channels=3)
+    params = model.init(jax.random.PRNGKey(0), jnp.zeros((1, spatial, spatial, 4)))
+    measured = _measured_reach(lambda x: model.apply(params, x), 4, spatial)
+    assert measured <= halo, (measured, halo)
+    # the bound shouldn't be wildly loose either
+    assert halo <= 2 * measured + 8, (measured, halo)
+
+
+def test_tiramisu_halo_bound():
+    spec = TiramisuSpec(growth_rate=2, layers_per_block=2, depth=1, stem_width=4, act="elu")
+    halo = spec.rf_state().halo
+    model = Tiramisu(spec, out_channels=3)
+    spatial = 64
+    params = model.init(jax.random.PRNGKey(0), jnp.zeros((1, spatial, spatial, 4)))
+    measured = _measured_reach(lambda x: model.apply(params, x), 4, spatial)
+    assert measured <= halo, (measured, halo)
+
+
+def test_multiscale_halo_bound():
+    cfg = tiny_unet_cfg(depth=1, n_scales=2, act="elu", in_channels=4)
+    halo = factory.halo(cfg)
+    model = factory.build_model(cfg)
+    spatial = 128
+    params = model.init(jax.random.PRNGKey(0), jnp.zeros((1, spatial, spatial, 4)))
+    measured = _measured_reach(lambda x: model.apply(params, x), 4, spatial)
+    assert measured <= halo, (measured, halo)
+
+
+def test_factory_rf_composition():
+    cfg = tiny_unet_cfg()
+    rf0 = factory.receptive_field(cfg)
+    assert factory.receptive_field(tiny_unet_cfg(n_scales=3)) > rf0
+    assert factory.receptive_field(
+        tiny_unet_cfg(kernel_prediction=True, kpn_size=5)
+    ) == rf0 + 4
+    assert factory.spatial_multiple(tiny_unet_cfg(n_scales=3)) == 4 * 4
+    assert factory.halo(cfg) >= 1
+
+
+# ---------------------------------------------------------------------------
+# KPN behavior
+# ---------------------------------------------------------------------------
+
+
+def test_kpn_uniform_weights_is_box_filter():
+    rng = np.random.default_rng(0)
+    x = jnp.asarray(rng.random((1, 8, 8, 3)).astype(np.float32))
+    k = 3
+    w = jnp.full((1, 8, 8, k * k), 1.0 / (k * k))
+    y = kpn.apply_per_pixel_kernels(x, w, k)
+    # interior pixel: mean of 3x3 neighborhood
+    want = np.asarray(x)[0, 3:6, 3:6, :].mean(axis=(0, 1))
+    np.testing.assert_allclose(np.asarray(y)[0, 4, 4], want, rtol=1e-5)
+
+
+def test_kpn_delta_weights_is_identity():
+    rng = np.random.default_rng(1)
+    x = jnp.asarray(rng.random((1, 8, 8, 3)).astype(np.float32))
+    k = 3
+    w = np.zeros((1, 8, 8, k * k), np.float32)
+    w[..., k * k // 2] = 1.0  # center tap
+    y = kpn.apply_per_pixel_kernels(x, jnp.asarray(w), k)
+    np.testing.assert_allclose(np.asarray(y), np.asarray(x), atol=1e-6)
+
+
+def test_nearest_upsample_and_avg_downsample_inverse():
+    rng = np.random.default_rng(2)
+    x = jnp.asarray(rng.random((2, 4, 4, 3)).astype(np.float32))
+    up = layers.nearest_upsample(x, 2)
+    assert up.shape == (2, 8, 8, 3)
+    back = layers.avg_downsample(up, 2)
+    np.testing.assert_allclose(np.asarray(back), np.asarray(x), rtol=1e-6)
+
+
+def test_compose_scales_dc_follows_coarse():
+    """The composed output's low band equals the coarse output."""
+    rng = np.random.default_rng(3)
+    fine = jnp.asarray(rng.random((1, 8, 8, 3)).astype(np.float32))
+    coarse = jnp.asarray(rng.random((1, 4, 4, 3)).astype(np.float32))
+    out = multiscale.compose_scales(fine, coarse)
+    np.testing.assert_allclose(
+        np.asarray(layers.avg_downsample(out, 2)), np.asarray(coarse), atol=1e-5
+    )

@@ -1,0 +1,133 @@
+"""Training engine tests (SURVEY.md §4.3, §4.5): DP invariant on 8 fake
+devices, overfit-one-batch, determinism, EMA, checkpoint resume."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from deepdenoiser_tpu.config import TrainConfig
+from deepdenoiser_tpu.models.factory import ModelConfig
+from deepdenoiser_tpu.parallel import mesh as M
+from deepdenoiser_tpu.training import train as T
+from deepdenoiser_tpu.training.checkpoint import CheckpointManager
+
+
+def tiny_cfgs(**tkw):
+    mcfg = ModelConfig(backbone="unet", in_channels=8, out_channels=6,
+                       base_width=8, depth=1, convs_per_level=1)
+    tkw.setdefault("steps", 200)
+    tkw.setdefault("warmup_steps", 10)
+    tcfg = TrainConfig(**tkw)
+    return mcfg, tcfg
+
+
+def fixed_batch(n=16, s=16, cin=8, cout=6):
+    x = jax.random.normal(jax.random.PRNGKey(1), (n, s, s, cin))
+    y = jax.random.normal(jax.random.PRNGKey(2), (n, s, s, cout)) * 0.1
+    return {"x": x, "y": y}
+
+
+def test_dp_matches_single_device(devices8):
+    """Global-batch gradient on 1 device == allreduced gradient on 8
+    (BASELINE config #4's correctness invariant)."""
+    mcfg, tcfg = tiny_cfgs()
+    batch = fixed_batch()
+
+    state1 = T.create_state(mcfg, tcfg, jax.random.PRNGKey(0), spatial=16)
+    s1, m1 = T.make_train_step(mcfg, tcfg, None)(state1, batch)
+
+    mesh = M.make_mesh(8)
+    state8 = T.create_state(mcfg, tcfg, jax.random.PRNGKey(0), spatial=16)
+    s8, m8 = T.make_train_step(mcfg, tcfg, mesh)(state8, M.shard_batch(batch, mesh))
+
+    assert abs(float(m1["loss"]) - float(m8["loss"])) < 1e-5
+    assert abs(float(m1["grad_norm"]) - float(m8["grad_norm"])) < 1e-5
+    # updated params agree across the two paths
+    p1 = jax.tree.leaves(s1.params)
+    p8 = jax.tree.leaves(s8.params)
+    for a, b in zip(p1, p8):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=2e-6)
+
+
+def test_overfit_one_batch():
+    from deepdenoiser_tpu.ops.losses import LossConfig
+
+    mcfg, tcfg = tiny_cfgs(
+        learning_rate=3e-2, warmup_steps=0, schedule="constant",
+        loss=LossConfig(kind="l2", gradient_weight=0.0),
+    )
+    state = T.create_state(mcfg, tcfg, jax.random.PRNGKey(0), spatial=16)
+    step = T.make_train_step(mcfg, tcfg, None)
+    batch = fixed_batch(n=4)
+    first = None
+    for i in range(120):
+        state, mets = step(state, batch)
+        if first is None:
+            first = float(mets["loss"])
+    last = float(mets["loss"])
+    assert last < 0.3 * first, (first, last)
+
+
+def test_train_step_deterministic():
+    mcfg, tcfg = tiny_cfgs()
+    batch = fixed_batch(n=4)
+    outs = []
+    for _ in range(2):
+        state = T.create_state(mcfg, tcfg, jax.random.PRNGKey(0), spatial=16)
+        state, mets = T.make_train_step(mcfg, tcfg, None)(state, batch)
+        outs.append(np.asarray(mets["loss"]))
+    np.testing.assert_array_equal(outs[0], outs[1])
+
+
+def test_ema_tracks_params():
+    mcfg, tcfg = tiny_cfgs(ema_decay=0.5, learning_rate=1e-2, warmup_steps=0,
+                           schedule="constant")
+    state = T.create_state(mcfg, tcfg, jax.random.PRNGKey(0), spatial=16)
+    step = T.make_train_step(mcfg, tcfg, None)
+    batch = fixed_batch(n=4)
+    s1, _ = step(state, batch)
+    # ema = 0.5*old + 0.5*new and old == init params
+    init = T.create_state(mcfg, tcfg, jax.random.PRNGKey(0), spatial=16).params
+    want = jax.tree.map(lambda e, p: 0.5 * e + 0.5 * p, init, s1.params)
+    for a, b in zip(jax.tree.leaves(want), jax.tree.leaves(s1.ema_params)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-6)
+
+
+def test_eval_step_runs():
+    mcfg, tcfg = tiny_cfgs()
+    state = T.create_state(mcfg, tcfg, jax.random.PRNGKey(0), spatial=16)
+    ev = T.make_eval_step(mcfg, tcfg.loss, None)
+    mets = ev(state, fixed_batch(n=2))
+    assert np.isfinite(float(mets["loss"]))
+
+
+def test_checkpoint_roundtrip(tmp_path):
+    mcfg, tcfg = tiny_cfgs(ema_decay=0.9)
+    state = T.create_state(mcfg, tcfg, jax.random.PRNGKey(0), spatial=16)
+    state, _ = T.make_train_step(mcfg, tcfg, None)(state, fixed_batch(n=2))
+
+    mgr = CheckpointManager(tmp_path / "ckpt", keep=2)
+    assert mgr.latest_step() is None
+    mgr.save(int(state.step), state, extra={"note": "hello", "step": 1})
+    mgr.wait()
+    assert mgr.latest_step() == 1
+
+    template = T.create_state(mcfg, tcfg, jax.random.PRNGKey(3), spatial=16)
+    restored, extra = mgr.restore_latest(template)
+    assert extra.get("note") == "hello"
+    for a, b in zip(jax.tree.leaves(state.params), jax.tree.leaves(restored.params)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    assert int(restored.step) == 1
+    mgr.close()
+
+
+def test_checkpoint_keep_limit(tmp_path):
+    mcfg, tcfg = tiny_cfgs()
+    state = T.create_state(mcfg, tcfg, jax.random.PRNGKey(0), spatial=16)
+    mgr = CheckpointManager(tmp_path / "ckpt", keep=2)
+    for step in (1, 2, 3):
+        mgr.save(step, state.replace(step=jnp.asarray(step)), force=True)
+    mgr.wait()
+    assert mgr.latest_step() == 3
+    mgr.close()
