@@ -1,0 +1,207 @@
+"""Public CLI: train / prepare-data / denoise (+ synth-data, eval)
+(upstream: the argparse front door of TensorFlow/DeepDenoiser.py and
+TrainingData.py — SURVEY.md L8; subcommand set fixed by BASELINE.json:5).
+
+    deepdenoiser prepare-data --renders R --out shards/ [--config c.json]
+    deepdenoiser synth-data   --out renders/ [--frames 4 --size 128]
+    deepdenoiser train        --config c.json --workdir runs/x --shards shards/
+    deepdenoiser denoise      --config c.json --checkpoint runs/x/checkpoints \\
+                              --frame frame_dir_or_multilayer.exr --out out.exr
+    deepdenoiser eval         --config c.json --checkpoint ... --renders R
+"""
+
+from __future__ import annotations
+
+import argparse
+import dataclasses
+import json
+import sys
+from pathlib import Path
+from typing import Optional
+
+import numpy as np
+
+
+def _load_config(path: Optional[str], preset: Optional[str]):
+    from deepdenoiser_tpu import config as config_lib
+
+    if path:
+        return config_lib.load(path)
+    if preset:
+        return config_lib.PRESETS[preset]
+    return config_lib.ExperimentConfig()
+
+
+def cmd_prepare_data(args) -> int:
+    from deepdenoiser_tpu.data import prepare
+
+    cfg = _load_config(args.config, args.preset)
+    metas = prepare.prepare_dataset(args.renders, args.out, cfg.data)
+    for split, meta in metas.items():
+        print(f"{split}: {meta.n_examples} examples, {len(meta.shard_sizes)} shards")
+    return 0
+
+
+def cmd_synth_data(args) -> int:
+    from deepdenoiser_tpu.data import prepare
+
+    prepare.generate_synthetic_render_root(
+        args.out, n_frames=args.frames, height=args.size, width=args.size,
+        spps=tuple(args.spp), n_seeds=args.seeds, seed=args.seed,
+    )
+    print(f"wrote {args.frames} synthetic frames under {args.out}")
+    return 0
+
+
+def cmd_train(args) -> int:
+    from deepdenoiser_tpu.training import loop
+
+    cfg = _load_config(args.config, args.preset)
+    if args.steps:
+        cfg = dataclasses.replace(
+            cfg, train=dataclasses.replace(cfg.train, steps=args.steps)
+        )
+    loop.fit(cfg, args.workdir, shard_dir=args.shards)
+    return 0
+
+
+def _load_frame(path: Path):
+    from deepdenoiser_tpu.data import exr
+
+    if path.is_dir():
+        return exr.load_frame_dir(path, strict=False)
+    return exr.load_multilayer_exr(path)
+
+
+def cmd_denoise(args) -> int:
+    import jax
+    import jax.numpy as jnp
+
+    from deepdenoiser_tpu import config as config_lib
+    from deepdenoiser_tpu.data import exr
+    from deepdenoiser_tpu.inference import pipeline
+    from deepdenoiser_tpu.models import factory
+    from deepdenoiser_tpu.training import train as train_lib
+    from deepdenoiser_tpu.training.checkpoint import CheckpointManager
+
+    cfg = _load_config(args.config, args.preset)
+    frame = _load_frame(Path(args.frame))
+    h, w = next(iter(frame.values())).shape[:2]
+
+    mcfg = cfg.model
+    state = train_lib.create_state(mcfg, cfg.train, jax.random.PRNGKey(0),
+                                   spatial=cfg.data.crop)
+    mgr = CheckpointManager(args.checkpoint)
+    restored = mgr.restore_latest(state)
+    if restored is None:
+        print(f"WARNING: no checkpoint under {args.checkpoint}; "
+              "denoising with random weights", file=sys.stderr)
+        params = state.params
+    else:
+        st = restored[0]
+        params = st.ema_params if (args.ema and st.ema_params is not None) else st.params
+    mgr.close()
+
+    mode = args.mode or cfg.data.mode
+    if mode == "group":
+        denoise, _ = pipeline.make_group_frame_denoiser(mcfg, cfg.infer, h, w)
+    else:
+        denoise, _ = pipeline.make_rgb_frame_denoiser(mcfg, cfg.infer, h, w)
+    out = denoise(params, {k: jnp.asarray(v) for k, v in frame.items()})
+    out_np = {k: np.asarray(v) for k, v in out.items()}
+
+    out_path = Path(args.out)
+    if args.passes:
+        exr.save_frame_dir(out_path, out_np)
+        print(f"wrote denoised pass directory {out_path}")
+    else:
+        exr.write_exr(out_path, out_np["combined"])
+        print(f"wrote {out_path}")
+    return 0
+
+
+def cmd_eval(args) -> int:
+    """Full-frame PSNR/SSIM against ground truth over a render root."""
+    import jax
+    import jax.numpy as jnp
+
+    from deepdenoiser_tpu.data import exr, prepare
+    from deepdenoiser_tpu.inference import pipeline, sequence
+    from deepdenoiser_tpu.training import train as train_lib
+    from deepdenoiser_tpu.training.checkpoint import CheckpointManager
+
+    cfg = _load_config(args.config, args.preset)
+    state = train_lib.create_state(cfg.model, cfg.train, jax.random.PRNGKey(0),
+                                   spatial=cfg.data.crop)
+    mgr = CheckpointManager(args.checkpoint)
+    restored = mgr.restore_latest(state)
+    params = restored[0].params if restored else state.params
+    mgr.close()
+
+    report = sequence.evaluate_render_root(
+        cfg.model, cfg.infer, params, args.renders, mode=cfg.data.mode
+    )
+    print(json.dumps(report, indent=2))
+    return 0
+
+
+def build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(prog="deepdenoiser",
+                                description="TPU-native Monte-Carlo render denoiser")
+    sub = p.add_subparsers(dest="command", required=True)
+
+    def common(sp):
+        sp.add_argument("--config", help="experiment config JSON")
+        sp.add_argument("--preset", choices=["unet-small", "unet-multiscale",
+                                             "tiramisu", "kpn"])
+
+    sp = sub.add_parser("prepare-data", help="EXR render root -> training shards")
+    common(sp)
+    sp.add_argument("--renders", required=True)
+    sp.add_argument("--out", required=True)
+    sp.set_defaults(fn=cmd_prepare_data)
+
+    sp = sub.add_parser("synth-data", help="generate a synthetic render root")
+    sp.add_argument("--out", required=True)
+    sp.add_argument("--frames", type=int, default=4)
+    sp.add_argument("--size", type=int, default=128)
+    sp.add_argument("--spp", type=int, nargs="+", default=[4, 16])
+    sp.add_argument("--seeds", type=int, default=1)
+    sp.add_argument("--seed", type=int, default=0)
+    sp.set_defaults(fn=cmd_synth_data)
+
+    sp = sub.add_parser("train", help="train (auto-resumes from workdir)")
+    common(sp)
+    sp.add_argument("--workdir", required=True)
+    sp.add_argument("--shards", required=True)
+    sp.add_argument("--steps", type=int)
+    sp.set_defaults(fn=cmd_train)
+
+    sp = sub.add_parser("denoise", help="denoise a full frame")
+    common(sp)
+    sp.add_argument("--checkpoint", required=True)
+    sp.add_argument("--frame", required=True,
+                    help="frame EXR directory or multilayer EXR file")
+    sp.add_argument("--out", required=True)
+    sp.add_argument("--mode", choices=["group", "rgb"])
+    sp.add_argument("--passes", action="store_true",
+                    help="write all denoised passes, not just combined")
+    sp.add_argument("--ema", action="store_true", help="use EMA weights")
+    sp.set_defaults(fn=cmd_denoise)
+
+    sp = sub.add_parser("eval", help="PSNR/SSIM + latency over a render root")
+    common(sp)
+    sp.add_argument("--checkpoint", required=True)
+    sp.add_argument("--renders", required=True)
+    sp.set_defaults(fn=cmd_eval)
+
+    return p
+
+
+def main(argv=None) -> int:
+    args = build_parser().parse_args(argv)
+    return args.fn(args)
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -53,18 +53,36 @@ def _round_up(x: int, m: int) -> int:
 
 @dataclasses.dataclass(frozen=True)
 class TileGrid:
-    """Static tiling plan for one frame geometry."""
+    """Static tiling plan for one frame geometry. Tiles are rectangular
+    (tile_h x tile_w cores); the square-tile API sets both equal, and
+    whole-frame mode (tile=0) uses one frame-sized tile — no interior
+    halo waste, the fastest plan whenever the frame fits in HBM."""
 
     height: int
     width: int
-    tile: int  # core tile size t
+    tile_h: int
+    tile_w: int
     halo: int  # per-side halo hp
     rows: int
     cols: int
 
     @property
+    def tile(self) -> int:
+        assert self.tile_h == self.tile_w, "square-tile accessor on rect grid"
+        return self.tile_h
+
+    @property
+    def net_h(self) -> int:
+        return self.tile_h + 2 * self.halo
+
+    @property
+    def net_w(self) -> int:
+        return self.tile_w + 2 * self.halo
+
+    @property
     def net_size(self) -> int:
-        return self.tile + 2 * self.halo
+        assert self.tile_h == self.tile_w
+        return self.tile_h + 2 * self.halo
 
     @property
     def n_tiles(self) -> int:
@@ -72,18 +90,23 @@ class TileGrid:
 
     @property
     def padded_hw(self) -> Tuple[int, int]:
-        return self.rows * self.tile, self.cols * self.tile
+        return self.rows * self.tile_h, self.cols * self.tile_w
 
 
 def plan_grid(height: int, width: int, tile: int, halo: int, multiple: int) -> TileGrid:
-    """Choose an aligned tiling plan. tile and halo are rounded up so that
-    tile % multiple == 0 and halo % multiple == 0 (grid-alignment
-    invariants above)."""
-    tile = _round_up(max(tile, multiple), multiple)
+    """Choose an aligned tiling plan. Tile sides and halo are rounded up so
+    that tile % multiple == 0 and halo % multiple == 0 (grid-alignment
+    invariants above). tile == 0 selects whole-frame mode: one tile of the
+    frame's rounded-up dimensions."""
     halo = _round_up(halo, multiple)
+    if tile == 0:
+        th = _round_up(height, multiple)
+        tw = _round_up(width, multiple)
+        return TileGrid(height, width, th, tw, halo, 1, 1)
+    tile = _round_up(max(tile, multiple), multiple)
     rows = -(-height // tile)
     cols = -(-width // tile)
-    return TileGrid(height, width, tile, halo, rows, cols)
+    return TileGrid(height, width, tile, tile, halo, rows, cols)
 
 
 def pad_plane(frame: Array, grid: TileGrid) -> Array:
@@ -112,29 +135,30 @@ def whole_frame_reference(apply_fn: Callable[[Array], Array], frame: Array, grid
 
 
 def extract_tiles(frame: Array, grid: TileGrid) -> Array:
-    """frame (H, W, C) -> tiles (rows*cols, T, T, C) from the padded plane."""
+    """frame (H, W, C) -> tiles (rows*cols, Th, Tw, C) from the padded plane."""
     c = frame.shape[-1]
     padded = pad_plane(frame, grid)
-    t, T = grid.tile, grid.net_size
+    if grid.n_tiles == 1:
+        return padded[None]
 
-    ys = jnp.arange(grid.rows, dtype=jnp.int32) * t
-    xs = jnp.arange(grid.cols, dtype=jnp.int32) * t
+    ys = jnp.arange(grid.rows, dtype=jnp.int32) * grid.tile_h
+    xs = jnp.arange(grid.cols, dtype=jnp.int32) * grid.tile_w
     sy = jnp.repeat(ys, grid.cols)
     sx = jnp.tile(xs, grid.rows)
 
     def take(y0, x0):
-        return jax.lax.dynamic_slice(padded, (y0, x0, 0), (T, T, c))
+        return jax.lax.dynamic_slice(padded, (y0, x0, 0), (grid.net_h, grid.net_w, c))
 
     return jax.vmap(take)(sy, sx)
 
 
 def stitch_tiles(tiles_out: Array, grid: TileGrid) -> Array:
-    """(rows*cols, T, T, C) core crops -> (H, W, C)."""
-    hp, t = grid.halo, grid.tile
-    core = tiles_out[:, hp : hp + t, hp : hp + t, :]
+    """(rows*cols, Th, Tw, C) core crops -> (H, W, C)."""
+    hp, th, tw = grid.halo, grid.tile_h, grid.tile_w
+    core = tiles_out[:, hp : hp + th, hp : hp + tw, :]
     c = core.shape[-1]
-    core = core.reshape(grid.rows, grid.cols, t, t, c)
-    full = core.transpose(0, 2, 1, 3, 4).reshape(grid.rows * t, grid.cols * t, c)
+    core = core.reshape(grid.rows, grid.cols, th, tw, c)
+    full = core.transpose(0, 2, 1, 3, 4).reshape(grid.rows * th, grid.cols * tw, c)
     return full[: grid.height, : grid.width, :]
 
 
@@ -178,9 +202,9 @@ def make_tiled_apply(
     def f_batched(frames: Array) -> Array:
         g = frames.shape[0]
         tiles = jax.vmap(lambda fr: extract_tiles(fr, grid))(frames)
-        tiles = tiles.reshape(g * grid.n_tiles, grid.net_size, grid.net_size, -1)
+        tiles = tiles.reshape(g * grid.n_tiles, grid.net_h, grid.net_w, -1)
         outs = run_tiles(tiles)
-        outs = outs.reshape(g, grid.n_tiles, grid.net_size, grid.net_size, out_channels)
+        outs = outs.reshape(g, grid.n_tiles, grid.net_h, grid.net_w, out_channels)
         return jax.vmap(lambda t_: stitch_tiles(t_, grid))(outs)
 
     return f_batched
@@ -208,27 +232,29 @@ def stitch_tiles_feathered(tiles_out: Array, grid: TileGrid) -> Array:
     overlap regions. Use when halo < certified RF bound (faster tiles,
     approximate seams); with certified halos, center-crop stitching is
     exact and cheaper."""
-    hp, t, T = grid.halo, grid.tile, grid.net_size
+    hp, th, tw = grid.halo, grid.tile_h, grid.tile_w
     c = tiles_out.shape[-1]
-    w1 = _feather_window(t, hp)
-    w2 = jnp.asarray(np.outer(w1, w1), dtype=tiles_out.dtype)[..., None]
+    wh = _feather_window(th, hp)
+    ww = _feather_window(tw, hp)
+    w2 = jnp.asarray(np.outer(wh, ww), dtype=tiles_out.dtype)[..., None]
 
-    ph, pw = grid.rows * t + 2 * hp, grid.cols * t + 2 * hp
+    ph, pw = grid.rows * th + 2 * hp, grid.cols * tw + 2 * hp
     acc = jnp.zeros((ph, pw, c), tiles_out.dtype)
     wacc = jnp.zeros((ph, pw, 1), tiles_out.dtype)
 
     tiles_w = tiles_out * w2[None]
+    nh, nw = grid.net_h, grid.net_w
 
     def body(i, carry):
         acc, wacc = carry
         r = i // grid.cols
         col = i % grid.cols
-        y0, x0 = r * t, col * t
+        y0, x0 = r * th, col * tw
         acc = jax.lax.dynamic_update_slice(
-            acc, jax.lax.dynamic_slice(acc, (y0, x0, 0), (T, T, c)) + tiles_w[i], (y0, x0, 0)
+            acc, jax.lax.dynamic_slice(acc, (y0, x0, 0), (nh, nw, c)) + tiles_w[i], (y0, x0, 0)
         )
         wacc = jax.lax.dynamic_update_slice(
-            wacc, jax.lax.dynamic_slice(wacc, (y0, x0, 0), (T, T, 1)) + w2, (y0, x0, 0)
+            wacc, jax.lax.dynamic_slice(wacc, (y0, x0, 0), (nh, nw, 1)) + w2, (y0, x0, 0)
         )
         return acc, wacc
 

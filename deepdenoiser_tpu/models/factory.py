@@ -36,6 +36,7 @@ class ModelConfig:
     depth: int = 3
     convs_per_level: int = 2
     act: str = "relu"
+    stem_stride: int = 1  # 2 = space-to-depth stem (half-res network)
     # tiramisu params
     growth_rate: int = 16
     layers_per_block: int = 4
@@ -67,6 +68,7 @@ class DenoiserModel(nn.Module):
                 depth=cfg.depth,
                 convs_per_level=cfg.convs_per_level,
                 act=cfg.act,
+                stem_stride=cfg.stem_stride,
             )
             backbone: nn.Module = UNet(spec, out_ch, dtype=cfg.dtype)
         elif cfg.backbone == "tiramisu":
@@ -101,6 +103,7 @@ def _backbone_spec(cfg: ModelConfig):
         return UNetSpec(
             base_width=cfg.base_width, depth=cfg.depth,
             convs_per_level=cfg.convs_per_level, act=cfg.act,
+            stem_stride=cfg.stem_stride,
         )
     if cfg.backbone == "tiramisu":
         return TiramisuSpec(

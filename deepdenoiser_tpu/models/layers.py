@@ -220,3 +220,24 @@ def avg_downsample(x: Array, factor: int = 2) -> Array:
     assert h % factor == 0 and w % factor == 0, (h, w, factor)
     x = x.reshape(n, h // factor, factor, w // factor, factor, c)
     return x.mean(axis=(2, 4))
+
+
+def space_to_depth(x: Array, factor: int = 2) -> Array:
+    """(N, H, W, C) -> (N, H/f, W/f, C*f*f). Moves resolution into channels
+    so the whole network runs at reduced spatial size: 1/f² the activation
+    HBM traffic and f²·C input channels feeding the MXU instead of C."""
+    n, h, w, c = x.shape
+    assert h % factor == 0 and w % factor == 0, (h, w, factor)
+    x = x.reshape(n, h // factor, factor, w // factor, factor, c)
+    x = x.transpose(0, 1, 3, 2, 4, 5)
+    return x.reshape(n, h // factor, w // factor, factor * factor * c)
+
+
+def depth_to_space(x: Array, factor: int = 2) -> Array:
+    """Inverse of space_to_depth (pixel shuffle)."""
+    n, h, w, c = x.shape
+    assert c % (factor * factor) == 0
+    co = c // (factor * factor)
+    x = x.reshape(n, h, w, factor, factor, co)
+    x = x.transpose(0, 1, 3, 2, 4, 5)
+    return x.reshape(n, h * factor, w * factor, co)
