@@ -1,0 +1,196 @@
+"""TF-checkpoint compatibility shim (SURVEY.md N3; BASELINE.json:5
+"checkpoint-compatible outputs match the TensorFlow reference within
+numerical tolerance").
+
+Reads TF1-style name-based checkpoints (tensorflow is used ONLY as a
+reader/writer of the checkpoint format) and maps variables into this
+framework's Flax U-Net parameter pytree.
+
+Naming contract (the canonical TF scoping for a depth-D U-Net, matching
+upstream's scope style — SURVEY.md C16):
+
+    unet/stem/conv<k>/{kernel,bias}        k = 0..convs_per_level-1
+    unet/enc<l>/down/{kernel,bias}         l = 1..D
+    unet/enc<l>/conv<k>/{kernel,bias}
+    unet/dec<l>/up/{kernel,bias}           l = D-1..0 (decoder level)
+    unet/dec<l>/conv<k>/{kernel,bias}
+    unet/head/{kernel,bias}
+
+Layout: TF conv kernels are HWIO — exactly Flax's layout for NHWC convs,
+so arrays transfer without transposition (the NHWC/HWIO trap called out in
+SURVEY.md §7 resolves to a no-op here by design; a real upstream NCHW
+checkpoint would need a transpose hook, provided via `kernel_transform`).
+
+Because the reference mount is empty (no real upstream checkpoint exists
+to test against — SURVEY.md header), parity is established the verifiable
+way: tests EXPORT a TF checkpoint from known Flax weights with this
+module's writer, re-IMPORT it, and assert bitwise parameter equality plus
+forward-output equality (tests/test_tf_compat.py).
+"""
+
+from __future__ import annotations
+
+import re
+from pathlib import Path
+from typing import Any, Callable, Dict, List, Mapping, Optional
+
+import numpy as np
+
+_OPTIMIZER_SUFFIXES = ("/Adam", "/Adam_1", "global_step", "beta1_power", "beta2_power")
+
+
+def load_tf_checkpoint_arrays(path: str | Path) -> Dict[str, np.ndarray]:
+    """Read every variable of a TF checkpoint into numpy."""
+    import tensorflow as tf  # reader-only dependency
+
+    reader = tf.train.load_checkpoint(str(path))
+    return {
+        name: np.asarray(reader.get_tensor(name))
+        for name in reader.get_variable_to_shape_map()
+    }
+
+
+def tf_name_to_flax_path(name: str, depth: int) -> Optional[str]:
+    """One canonical TF variable name -> '/'-joined Flax path (or None for
+    optimizer slots). Flax auto-indexing for the U-Net (verified against
+    models/unet.py's module call order):
+      ConvStack_0 = stem; ConvStack_l = encoder level l (1..D);
+      DownSample_{l-1} = encoder level l's downsample;
+      UpSample_u / ConvStack_{D+1+u} = u-th decoder step (level D-1-u);
+      Conv_0 = linear head.
+    """
+    if name.endswith(_OPTIMIZER_SUFFIXES):
+        return None
+    m = re.fullmatch(r"unet/stem/conv(\d+)/(kernel|bias)", name)
+    if m:
+        return f"ConvStack_0/ConvBlock_{m.group(1)}/Conv_0/{m.group(2)}"
+    m = re.fullmatch(r"unet/enc(\d+)/down/(kernel|bias)", name)
+    if m:
+        return f"DownSample_{int(m.group(1)) - 1}/ConvBlock_0/Conv_0/{m.group(2)}"
+    m = re.fullmatch(r"unet/enc(\d+)/conv(\d+)/(kernel|bias)", name)
+    if m:
+        return f"ConvStack_{int(m.group(1))}/ConvBlock_{m.group(2)}/Conv_0/{m.group(3)}"
+    m = re.fullmatch(r"unet/dec(\d+)/up/(kernel|bias)", name)
+    if m:
+        u = depth - 1 - int(m.group(1))
+        return f"UpSample_{u}/ConvBlock_0/Conv_0/{m.group(2)}"
+    m = re.fullmatch(r"unet/dec(\d+)/conv(\d+)/(kernel|bias)", name)
+    if m:
+        u = depth - 1 - int(m.group(1))
+        return f"ConvStack_{depth + 1 + u}/ConvBlock_{m.group(2)}/Conv_0/{m.group(3)}"
+    m = re.fullmatch(r"unet/head/(kernel|bias)", name)
+    if m:
+        return f"Conv_0/{m.group(1)}"
+    raise KeyError(f"unmapped TF variable {name!r}")
+
+
+def flax_path_to_tf_name(path: str, depth: int) -> str:
+    """Inverse mapping (used by the exporter)."""
+    m = re.fullmatch(r"ConvStack_(\d+)/ConvBlock_(\d+)/Conv_0/(kernel|bias)", path)
+    if m:
+        s, k, leaf = int(m.group(1)), m.group(2), m.group(3)
+        if s == 0:
+            return f"unet/stem/conv{k}/{leaf}"
+        if s <= depth:
+            return f"unet/enc{s}/conv{k}/{leaf}"
+        level = depth - 1 - (s - depth - 1)
+        return f"unet/dec{level}/conv{k}/{leaf}"
+    m = re.fullmatch(r"DownSample_(\d+)/ConvBlock_0/Conv_0/(kernel|bias)", path)
+    if m:
+        return f"unet/enc{int(m.group(1)) + 1}/down/{m.group(2)}"
+    m = re.fullmatch(r"UpSample_(\d+)/ConvBlock_0/Conv_0/(kernel|bias)", path)
+    if m:
+        return f"unet/dec{depth - 1 - int(m.group(1))}/up/{m.group(2)}"
+    m = re.fullmatch(r"Conv_0/(kernel|bias)", path)
+    if m:
+        return f"unet/head/{m.group(1)}"
+    raise KeyError(f"unmapped Flax path {path!r}")
+
+
+def _flatten(tree: Mapping[str, Any], prefix: str = "") -> Dict[str, np.ndarray]:
+    out: Dict[str, np.ndarray] = {}
+    for k, v in tree.items():
+        p = f"{prefix}/{k}" if prefix else k
+        if isinstance(v, Mapping):
+            out.update(_flatten(v, p))
+        else:
+            out[p] = np.asarray(v)
+    return out
+
+
+def _unflatten(flat: Mapping[str, np.ndarray]) -> Dict[str, Any]:
+    root: Dict[str, Any] = {}
+    for path, arr in flat.items():
+        parts = path.split("/")
+        node = root
+        for p in parts[:-1]:
+            node = node.setdefault(p, {})
+        node[parts[-1]] = np.asarray(arr, dtype=np.float32)
+    return root
+
+
+def import_unet_checkpoint(
+    ckpt_path: str | Path,
+    depth: int,
+    kernel_transform: Optional[Callable[[str, np.ndarray], np.ndarray]] = None,
+) -> Dict[str, Any]:
+    """TF checkpoint -> {'params': {'UNet_0': ...}} pytree for
+    factory.build_model(unet cfg). `kernel_transform(tf_name, arr)` hooks
+    layout fixes for non-HWIO sources."""
+    tf_vars = load_tf_checkpoint_arrays(ckpt_path)
+    flat: Dict[str, np.ndarray] = {}
+    for name, arr in tf_vars.items():
+        path = tf_name_to_flax_path(name, depth)
+        if path is None:
+            continue
+        if kernel_transform is not None:
+            arr = kernel_transform(name, arr)
+        flat[path] = arr
+    return {"params": {"UNet_0": _unflatten(flat)}}
+
+
+def export_unet_checkpoint(
+    params: Mapping[str, Any], depth: int, ckpt_path: str | Path
+) -> List[str]:
+    """Write Flax U-Net params as a TF name-based checkpoint (the format
+    upstream's estimator emitted). Returns the TF variable names written."""
+    import tensorflow as tf
+
+    inner = params["params"]
+    if "UNet_0" in inner:
+        inner = inner["UNet_0"]
+    named = {
+        flax_path_to_tf_name(path, depth): np.asarray(arr, np.float32)
+        for path, arr in _flatten(inner).items()
+    }
+    # name-based (V1 estimator-style) checkpoint via the v1 Saver
+    with tf.compat.v1.Graph().as_default():
+        v1_vars = [
+            tf.compat.v1.get_variable(
+                name, shape=val.shape, dtype=tf.float32,
+                initializer=tf.compat.v1.constant_initializer(val),
+            )
+            for name, val in sorted(named.items())
+        ]
+        saver = tf.compat.v1.train.Saver(var_list=v1_vars)
+        with tf.compat.v1.Session() as sess:
+            sess.run(tf.compat.v1.global_variables_initializer())
+            saver.save(sess, str(ckpt_path), write_meta_graph=False)
+    return sorted(named)
+
+
+def structural_diff(
+    params: Mapping[str, Any], template: Mapping[str, Any]
+) -> List[str]:
+    """Same tree paths + shapes? Returns human-readable mismatches."""
+    a = {k: v.shape for k, v in _flatten(dict(params)).items()}
+    b = {k: v.shape for k, v in _flatten(dict(template)).items()}
+    problems = []
+    for k in sorted(set(a) | set(b)):
+        if k not in a:
+            problems.append(f"missing in import: {k} {b[k]}")
+        elif k not in b:
+            problems.append(f"unexpected in import: {k} {a[k]}")
+        elif tuple(a[k]) != tuple(b[k]):
+            problems.append(f"shape mismatch {k}: got {a[k]}, want {b[k]}")
+    return problems
