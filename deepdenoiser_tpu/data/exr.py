@@ -129,10 +129,15 @@ def load_frame_dir(
     """Load a frame directory of per-pass EXRs into {canonical_name: HWC f32}."""
     frame_dir = Path(frame_dir)
     found: Dict[str, Path] = {}
-    for p in sorted(frame_dir.glob("*.exr")):
+    all_exrs = sorted(frame_dir.glob("*.exr"))
+    for p in all_exrs:
         name = _canonical_pass_name(p.stem)
         if name is not None:
             found[name] = p
+    if not found and all_exrs:
+        # Blender's multilayer output: one EXR carrying every pass
+        # (blender/render_passes.py writes this shape).
+        return load_multilayer_exr(all_exrs[0], wanted=wanted, strict=strict)
     wanted_set = set(wanted) if wanted is not None else set(found)
     missing = wanted_set - set(found)
     if missing and strict:

@@ -1,0 +1,146 @@
+"""Pallas fused-ingest kernels (SURVEY.md N1; BASELINE.json:5 "per-pass
+normalization ... fuses ... as a Pallas kernel").
+
+One VMEM pass over the raw pass buffers computes the whole encode chain —
+albedo demodulation, log1p range compression, aux clamps — writing the
+network-ready representation straight back to HBM. The layout trick that
+makes this a clean TPU kernel: an NHWC buffer viewed as (H, W*C) is
+elementwise-aligned with every other buffer of the same channel count, so
+demodulation (direct / (color + eps)) and the transforms are pure VPU ops
+on (8, 128) blocks — no transposes, no gathers.
+
+The first conv consumes the outputs WITHOUT an explicit concat:
+conv(concat(a, b, ...)) == Σ conv_slice(x_i), which XLA performs by fusing
+the concat into the conv's im2col — so emitting separate encoded buffers
+loses nothing.
+
+Parity: tests/test_pallas.py checks bit-level agreement with the pure-JAX
+transforms (interpret mode on CPU, compiled on TPU). The pipeline flag
+`use_pallas_ingest` swaps implementations; both are always kept because
+the pure-JAX path is the reference semantics.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from deepdenoiser_tpu.transforms import DEMOD_EPS
+
+Array = jax.Array
+
+_BLOCK_H = 8
+_BLOCK_W = 512  # lanes: 4 x 128
+
+
+def _pad2(x: Array) -> Tuple[Array, Tuple[int, int]]:
+    """Pad a 2D view up to block multiples."""
+    h, w = x.shape
+    ph = -(-h // _BLOCK_H) * _BLOCK_H - h
+    pw = -(-w // _BLOCK_W) * _BLOCK_W - w
+    if ph or pw:
+        x = jnp.pad(x, ((0, ph), (0, pw)))
+    return x, (h, w)
+
+
+def _radiance_kernel(d_ref, i_ref, c_ref, out_d_ref, out_i_ref):
+    c = c_ref[:] + DEMOD_EPS
+    out_d_ref[:] = jnp.log1p(jnp.maximum(d_ref[:] / c, 0.0))
+    out_i_ref[:] = jnp.log1p(jnp.maximum(i_ref[:] / c, 0.0))
+
+
+def _aux_kernel(n_ref, out_n_ref):
+    out_n_ref[:] = jnp.clip(n_ref[:], -1.0, 1.0)
+
+
+def _depth_alpha_kernel(d_ref, a_ref, out_d_ref, out_a_ref):
+    out_d_ref[:] = jnp.log1p(jnp.maximum(d_ref[:], 0.0))
+    out_a_ref[:] = jnp.clip(a_ref[:], 0.0, 1.0)
+
+
+def _run_2d(kernel, inputs, n_out, interpret=False):
+    """Launch an elementwise kernel over same-shaped 2D views."""
+    padded = []
+    orig = None
+    for x in inputs:
+        xp, hw = _pad2(x)
+        padded.append(xp)
+        orig = hw
+    h, w = padded[0].shape
+    grid = (h // _BLOCK_H, w // _BLOCK_W)
+    spec = pl.BlockSpec(
+        (_BLOCK_H, _BLOCK_W), lambda i, j: (i, j), memory_space=pltpu.VMEM
+    )
+    outs = pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=[spec] * len(padded),
+        out_specs=[spec] * n_out,
+        out_shape=[jax.ShapeDtypeStruct((h, w), jnp.float32)] * n_out,
+        interpret=interpret,
+    )(*padded)
+    if n_out == 1:
+        outs = [outs] if not isinstance(outs, (list, tuple)) else outs
+    return [o[: orig[0], : orig[1]] for o in outs]
+
+
+def _as2d(x: Array) -> Tuple[Array, Tuple[int, ...]]:
+    """NHWC/HWC -> (rows, cols*channels) view (no data movement)."""
+    shape = x.shape
+    return x.reshape(-1, shape[-2] * shape[-1]), shape
+
+
+def encode_radiance(
+    direct: Array, indirect: Array, color: Array, interpret: bool = False
+) -> Tuple[Array, Array]:
+    """log1p(demod(direct)), log1p(demod(indirect)) — one fused HBM pass."""
+    d2, shape = _as2d(direct.astype(jnp.float32))
+    i2, _ = _as2d(indirect.astype(jnp.float32))
+    c2, _ = _as2d(color.astype(jnp.float32))
+    out_d, out_i = _run_2d(_radiance_kernel, [d2, i2, c2], 2, interpret)
+    return out_d.reshape(shape), out_i.reshape(shape)
+
+
+def encode_normal(normal: Array, interpret: bool = False) -> Array:
+    n2, shape = _as2d(normal.astype(jnp.float32))
+    (out,) = _run_2d(_aux_kernel, [n2], 1, interpret)
+    return out.reshape(shape)
+
+
+def encode_depth_alpha(
+    depth: Array, alpha: Array, interpret: bool = False
+) -> Tuple[Array, Array]:
+    d2, shape_d = _as2d(depth.astype(jnp.float32))
+    a2, shape_a = _as2d(alpha.astype(jnp.float32))
+    out_d, out_a = _run_2d(_depth_alpha_kernel, [d2, a2], 2, interpret)
+    return out_d.reshape(shape_d), out_a.reshape(shape_a)
+
+
+def encode_group_inputs_pallas(
+    pass_dict, group: str, aux=("normal", "depth", "alpha"), interpret: bool = False
+) -> Array:
+    """Drop-in Pallas twin of transforms.encode_group_inputs."""
+    from deepdenoiser_tpu import passes
+
+    d_name, i_name, c_name = passes.group_passes(group)
+    albedo = pass_dict[c_name]
+    enc_d, enc_i = encode_radiance(
+        pass_dict[d_name], pass_dict[i_name], albedo, interpret
+    )
+    feats = [enc_d, enc_i, albedo.astype(jnp.float32)]
+    enc_da = None
+    for a in aux:
+        if a == "normal":
+            feats.append(encode_normal(pass_dict[a], interpret))
+        else:
+            if enc_da is None:
+                enc_da = encode_depth_alpha(
+                    pass_dict["depth"], pass_dict["alpha"], interpret
+                )
+            feats.append(enc_da[0] if a == "depth" else enc_da[1])
+    return jnp.concatenate(feats, axis=-1)

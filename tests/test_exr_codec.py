@@ -91,3 +91,15 @@ def test_multilayer_cycles_layer_names(tmp_path):
     loaded = exr.load_multilayer_exr(p)
     assert set(loaded) == {"diffuse_direct", "depth"}
     np.testing.assert_array_equal(loaded["diffuse_direct"][..., 0], img["RenderLayer.DiffDir.R"])
+
+
+def test_frame_dir_multilayer_fallback(tmp_path):
+    """A variant dir holding one multilayer EXR (Blender's output shape)
+    loads through load_frame_dir transparently."""
+    from deepdenoiser_tpu.data import synthetic
+
+    clean = synthetic.generate_clean_passes(16, 16, seed=9)
+    exr.save_multilayer_exr(tmp_path / "frame.exr", clean)
+    loaded = exr.load_frame_dir(tmp_path)
+    assert set(loaded) == set(clean)
+    np.testing.assert_array_equal(loaded["combined"], clean["combined"])
