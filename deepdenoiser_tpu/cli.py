@@ -105,6 +105,8 @@ def cmd_denoise(args) -> int:
     mode = args.mode or cfg.data.mode
     if mode == "group":
         denoise, _ = pipeline.make_group_frame_denoiser(mcfg, cfg.infer, h, w)
+    elif mode == "joint":
+        denoise, _ = pipeline.make_joint_frame_denoiser(mcfg, cfg.infer, h, w)
     else:
         denoise, _ = pipeline.make_rgb_frame_denoiser(mcfg, cfg.infer, h, w)
     out = denoise(params, {k: jnp.asarray(v) for k, v in frame.items()})
@@ -183,7 +185,7 @@ def build_parser() -> argparse.ArgumentParser:
     sp.add_argument("--frame", required=True,
                     help="frame EXR directory or multilayer EXR file")
     sp.add_argument("--out", required=True)
-    sp.add_argument("--mode", choices=["group", "rgb"])
+    sp.add_argument("--mode", choices=["group", "joint", "rgb"])
     sp.add_argument("--passes", action="store_true",
                     help="write all denoised passes, not just combined")
     sp.add_argument("--ema", action="store_true", help="use EMA weights")

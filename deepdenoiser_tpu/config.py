@@ -28,7 +28,7 @@ class DataConfig:
     crops_per_frame: int = 64
     batch_size: int = 32
     groups: Tuple[str, ...] = LIGHT_GROUPS
-    mode: str = "group"  # 'group' (per-pass denoise) | 'rgb' (combined mode)
+    mode: str = "group"  # 'group' (per-group) | 'joint' (all groups, one pass) | 'rgb'
     group: str = "diffuse"  # which group a 'group'-mode model trains on
     augment: bool = True
     shuffle_buffer: int = 2048
@@ -62,11 +62,12 @@ class TrainConfig:
 class InferenceConfig:
     """Tiled full-frame inference (SURVEY.md N4, BASELINE configs 2/3/5)."""
 
-    tile: int = 256  # core tile size (pre-halo)
+    tile: int = 0  # core tile size; 0 = whole-frame (fastest when HBM fits)
     tile_batch: int = 0  # 0 = all tiles in one device batch
     halo: int = 0  # 0 = derive from the model's certified RF bound
     compute_dtype: str = "bfloat16"
-    spatial_shard: bool = False  # shard tile rows over the mesh (multi-chip)
+    spatial_shard: bool = False  # shard frame rows over a 'spatial' mesh axis
+    use_pallas_ingest: bool = False  # Pallas fused normalization (ops/fused_ingest)
 
 
 @dataclasses.dataclass(frozen=True)

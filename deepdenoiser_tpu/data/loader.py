@@ -123,6 +123,25 @@ def make_batch_encoder(cfg: DataConfig, aux: Sequence[str] = passes.AUX_PASSES):
 
         return encode
 
+    if cfg.mode == "joint":
+        groups = tuple(cfg.groups)
+
+        def encode_joint(batch: Mapping[str, Array]) -> Dict[str, Array]:
+            names = [n for g in groups for n in passes.group_passes(g)] + list(aux)
+            src = {name: _src(batch, name) for name in names}
+            x = transforms.encode_joint_inputs(src, groups, aux)
+            ys = []
+            for g in groups:
+                d_name, i_name, c_name = passes.group_passes(g)
+                albedo = src[c_name]
+                ys.append(transforms.normalize(
+                    d_name, transforms.demodulate(_tgt(batch, d_name), albedo)))
+                ys.append(transforms.normalize(
+                    i_name, transforms.demodulate(_tgt(batch, i_name), albedo)))
+            return {"x": x, "y": jnp.concatenate(ys, axis=-1)}
+
+        return encode_joint
+
     if cfg.mode == "rgb":
 
         def encode_rgb(batch: Mapping[str, Array]) -> Dict[str, Array]:
@@ -142,8 +161,14 @@ def make_batch_encoder(cfg: DataConfig, aux: Sequence[str] = passes.AUX_PASSES):
 def input_channels(cfg: DataConfig, aux: Sequence[str] = passes.AUX_PASSES) -> int:
     if cfg.mode == "group":
         return transforms.group_input_channels(tuple(aux))
+    if cfg.mode == "joint":
+        return transforms.joint_input_channels(tuple(cfg.groups), tuple(aux))
     return transforms.rgb_input_channels(tuple(a for a in aux if a != "alpha"))
 
 
 def output_channels(cfg: DataConfig) -> int:
-    return transforms.GROUP_OUTPUT_CHANNELS if cfg.mode == "group" else 3
+    if cfg.mode == "group":
+        return transforms.GROUP_OUTPUT_CHANNELS
+    if cfg.mode == "joint":
+        return transforms.joint_output_channels(tuple(cfg.groups))
+    return 3

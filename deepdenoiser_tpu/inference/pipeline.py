@@ -25,6 +25,7 @@ from deepdenoiser_tpu.config import InferenceConfig
 from deepdenoiser_tpu.inference import tiled
 from deepdenoiser_tpu.models import factory
 from deepdenoiser_tpu.models.factory import ModelConfig
+from deepdenoiser_tpu.parallel import halo as halo_lib
 
 Array = jax.Array
 
@@ -54,28 +55,45 @@ def make_group_frame_denoiser(
     width: int,
     groups: Sequence[str] = passes.LIGHT_GROUPS,
     aux: Sequence[str] = passes.AUX_PASSES,
+    mesh=None,
 ):
     """Jitted fn: params, {pass_name: (H,W,C)} -> outputs dict.
 
     Outputs: denoised '<g>_direct'/'<g>_indirect' for each group, plus
     'combined' recomposited on-device (emission/environment/alpha passed
     through — they are near noise-free in Cycles).
+
+    With infer_cfg.spatial_shard and a mesh carrying a 'spatial' axis, the
+    CNN runs band-parallel across chips with ppermute halo exchange
+    (parallel/halo.py) instead of the single-chip tile grid.
     """
     grid = plan_for(model_cfg, infer_cfg, height, width)
     groups = tuple(groups)
     aux = tuple(aux)
+    if infer_cfg.use_pallas_ingest:
+        from deepdenoiser_tpu.ops.fused_ingest import (
+            encode_group_inputs_pallas as encode_group,
+        )
+    else:
+        encode_group = transforms.encode_group_inputs
+
+    spatial = infer_cfg.spatial_shard and mesh is not None
 
     @jax.jit
     def denoise(params, pass_dict: Mapping[str, Array]) -> Dict[str, Array]:
         apply_fn = _make_apply(model_cfg, params, infer_cfg.compute_dtype)
-        frame_fn = tiled.make_tiled_apply(
-            apply_fn, grid, transforms.GROUP_OUTPUT_CHANNELS,
-            tile_batch=infer_cfg.tile_batch, batch_dims=1,
-        )
+        if spatial:
+            frame_fn = halo_lib.make_spatial_apply_batched(
+                apply_fn, mesh, height, width,
+                grid.halo, factory.spatial_multiple(model_cfg),
+            )
+        else:
+            frame_fn = tiled.make_tiled_apply(
+                apply_fn, grid, transforms.GROUP_OUTPUT_CHANNELS,
+                tile_batch=infer_cfg.tile_batch, batch_dims=1,
+            )
         # Encode all groups, stack along a leading batch axis.
-        enc = jnp.stack(
-            [transforms.encode_group_inputs(pass_dict, g, aux) for g in groups], 0
-        )
+        enc = jnp.stack([encode_group(pass_dict, g, aux) for g in groups], 0)
         dec = frame_fn(enc)  # (G, H, W, 6) log-demod direct+indirect
 
         out: Dict[str, Array] = {}
@@ -84,6 +102,56 @@ def make_group_frame_denoiser(
             decoded = transforms.decode_group_outputs(dec[i], pass_dict[c_name])
             out[d_name] = decoded["direct"]
             out[i_name] = decoded["indirect"]
+            out[c_name] = pass_dict[c_name]
+        for extra in passes.COMPOSITE_EXTRA + ("alpha",):
+            if extra in pass_dict:
+                out[extra] = pass_dict[extra]
+        out["combined"] = transforms.recompose(out, groups)
+        return out
+
+    return denoise, grid
+
+
+def make_joint_frame_denoiser(
+    model_cfg: ModelConfig,
+    infer_cfg: InferenceConfig,
+    height: int,
+    width: int,
+    groups: Sequence[str] = passes.LIGHT_GROUPS,
+    aux: Sequence[str] = passes.AUX_PASSES,
+    mesh=None,
+):
+    """Joint-group mode: all light groups denoised in ONE network pass
+    (channels-stacked — see transforms.encode_joint_inputs). Same output
+    contract as make_group_frame_denoiser."""
+    grid = plan_for(model_cfg, infer_cfg, height, width)
+    groups = tuple(groups)
+    aux = tuple(aux)
+    out_ch = transforms.joint_output_channels(groups)
+    spatial = infer_cfg.spatial_shard and mesh is not None
+
+    @jax.jit
+    def denoise(params, pass_dict: Mapping[str, Array]) -> Dict[str, Array]:
+        apply_fn = _make_apply(model_cfg, params, infer_cfg.compute_dtype)
+        if spatial:
+            frame_fn = halo_lib.make_spatial_apply_batched(
+                apply_fn, mesh, height, width,
+                grid.halo, factory.spatial_multiple(model_cfg),
+            )
+            dec = frame_fn(
+                transforms.encode_joint_inputs(pass_dict, groups, aux)[None]
+            )[0]
+        else:
+            frame_fn = tiled.make_tiled_apply(
+                apply_fn, grid, out_ch, tile_batch=infer_cfg.tile_batch
+            )
+            dec = frame_fn(transforms.encode_joint_inputs(pass_dict, groups, aux))
+
+        out: Dict[str, Array] = dict(
+            transforms.decode_joint_outputs(dec, pass_dict, groups)
+        )
+        for g in groups:
+            c_name = passes.group_passes(g)[2]
             out[c_name] = pass_dict[c_name]
         for extra in passes.COMPOSITE_EXTRA + ("alpha",):
             if extra in pass_dict:

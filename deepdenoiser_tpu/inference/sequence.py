@@ -40,6 +40,10 @@ def make_sequence_denoiser(
         denoise, grid = pipeline.make_group_frame_denoiser(
             model_cfg, infer_cfg, height, width
         )
+    elif mode == "joint":
+        denoise, grid = pipeline.make_joint_frame_denoiser(
+            model_cfg, infer_cfg, height, width
+        )
     else:
         denoise, grid = pipeline.make_rgb_frame_denoiser(
             model_cfg, infer_cfg, height, width

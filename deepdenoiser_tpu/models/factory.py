@@ -30,6 +30,7 @@ class ModelConfig:
     kernel_prediction: bool = False
     kpn_size: int = 5
     kpn_slots: int = 2  # e.g. direct + indirect
+    kpn_pallas: bool = False  # VMEM filter apply instead of im2col patches
     compute_dtype: str = "float32"  # 'float32' | 'bfloat16'
     # unet params
     base_width: int = 64
@@ -89,7 +90,8 @@ class DenoiserModel(nn.Module):
         if cfg.kernel_prediction:
             signal = x[..., : 3 * cfg.kpn_slots]
             head = kpn.KernelPredictionHead(
-                net, kernel_size=cfg.kpn_size, n_slots=cfg.kpn_slots, dtype=cfg.dtype
+                net, kernel_size=cfg.kpn_size, n_slots=cfg.kpn_slots,
+                use_pallas=cfg.kpn_pallas, dtype=cfg.dtype,
             )
             # KPN filters the *linear-domain* signal; callers pass encoded
             # (log-demod) channels, filter there — convex combos in log space

@@ -61,11 +61,18 @@ class KernelPredictionHead(nn.Module):
     backbone: nn.Module
     kernel_size: int = 5
     n_slots: int = 1
+    use_pallas: bool = False  # VMEM filter apply (ops/kpn_pallas.py)
     dtype: Any = jnp.float32
     param_dtype: Any = jnp.float32
 
     @nn.compact
     def __call__(self, x: Array, signal: Array) -> Array:
+        if self.use_pallas:
+            from deepdenoiser_tpu.ops.kpn_pallas import (
+                apply_per_pixel_kernels_pallas as apply_kernels,
+            )
+        else:
+            apply_kernels = apply_per_pixel_kernels
         k2 = self.kernel_size * self.kernel_size
         feats = self.backbone(x)  # (N,H,W,n_slots*k2) — backbone out_channels must match
         assert feats.shape[-1] == self.n_slots * k2, (
@@ -79,7 +86,7 @@ class KernelPredictionHead(nn.Module):
             logits = feats[..., s * k2 : (s + 1) * k2].astype(jnp.float32)
             weights = jax.nn.softmax(logits, axis=-1)
             outs.append(
-                apply_per_pixel_kernels(
+                apply_kernels(
                     signal[..., 3 * s : 3 * (s + 1)].astype(jnp.float32),
                     weights,
                     self.kernel_size,

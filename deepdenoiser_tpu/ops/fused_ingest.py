@@ -63,8 +63,11 @@ def _depth_alpha_kernel(d_ref, a_ref, out_d_ref, out_a_ref):
     out_a_ref[:] = jnp.clip(a_ref[:], 0.0, 1.0)
 
 
-def _run_2d(kernel, inputs, n_out, interpret=False):
-    """Launch an elementwise kernel over same-shaped 2D views."""
+def _run_2d(kernel, inputs, n_out, interpret=None):
+    """Launch an elementwise kernel over same-shaped 2D views.
+    interpret=None auto-selects interpreter mode off-TPU (CI on CPU)."""
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu" 
     padded = []
     orig = None
     for x in inputs:
@@ -96,7 +99,7 @@ def _as2d(x: Array) -> Tuple[Array, Tuple[int, ...]]:
 
 
 def encode_radiance(
-    direct: Array, indirect: Array, color: Array, interpret: bool = False
+    direct: Array, indirect: Array, color: Array, interpret=None
 ) -> Tuple[Array, Array]:
     """log1p(demod(direct)), log1p(demod(indirect)) — one fused HBM pass."""
     d2, shape = _as2d(direct.astype(jnp.float32))
@@ -106,14 +109,14 @@ def encode_radiance(
     return out_d.reshape(shape), out_i.reshape(shape)
 
 
-def encode_normal(normal: Array, interpret: bool = False) -> Array:
+def encode_normal(normal: Array, interpret=None) -> Array:
     n2, shape = _as2d(normal.astype(jnp.float32))
     (out,) = _run_2d(_aux_kernel, [n2], 1, interpret)
     return out.reshape(shape)
 
 
 def encode_depth_alpha(
-    depth: Array, alpha: Array, interpret: bool = False
+    depth: Array, alpha: Array, interpret=None
 ) -> Tuple[Array, Array]:
     d2, shape_d = _as2d(depth.astype(jnp.float32))
     a2, shape_a = _as2d(alpha.astype(jnp.float32))
@@ -122,7 +125,7 @@ def encode_depth_alpha(
 
 
 def encode_group_inputs_pallas(
-    pass_dict, group: str, aux=("normal", "depth", "alpha"), interpret: bool = False
+    pass_dict, group: str, aux=("normal", "depth", "alpha"), interpret=None
 ) -> Array:
     """Drop-in Pallas twin of transforms.encode_group_inputs."""
     from deepdenoiser_tpu import passes

@@ -57,7 +57,7 @@ def _kernel(noisy_ref, w_ref, out_ref, scratch, sem, *, k: int, c: int, bh: int,
     out_ref[:] = acc
 
 
-def _apply_single(noisy: Array, weights_t: Array, k: int, interpret: bool) -> Array:
+def _apply_single(noisy: Array, weights_t: Array, k: int, interpret) -> Array:
     """noisy (H, W, C) f32, weights_t (k², H, W) f32 -> (H, W, C)."""
     h, w, c = noisy.shape
     p = k // 2
@@ -90,7 +90,7 @@ def _apply_single(noisy: Array, weights_t: Array, k: int, interpret: bool) -> Ar
 
 
 def apply_per_pixel_kernels_pallas(
-    noisy: Array, weights: Array, kernel_size: int, interpret: bool = False
+    noisy: Array, weights: Array, kernel_size: int, interpret=None
 ) -> Array:
     """Drop-in Pallas twin of kpn.apply_per_pixel_kernels.
 
@@ -98,6 +98,8 @@ def apply_per_pixel_kernels_pallas(
     NOTE: tap ordering matches conv_general_dilated_patches: index
     t = dy*k + dx over the kernel window, top-left first.
     """
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"  # CI on CPU
     n, h, w, c = noisy.shape
     k = kernel_size
     assert weights.shape == (n, h, w, k * k)

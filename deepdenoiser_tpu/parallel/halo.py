@@ -95,3 +95,52 @@ def make_spatial_apply(
         return out[: grid.height, hp : hp + grid.width]
 
     return jax.jit(f)
+
+
+def make_spatial_apply_batched(
+    apply_fn: Callable[[Array], Array],
+    mesh: Mesh,
+    height: int,
+    width: int,
+    halo: int,
+    multiple: int,
+    axis: str = "spatial",
+) -> Callable[[Array], Array]:
+    """Batched variant: f(frames (G,H,W,C)) -> (G,H,W,Cout), rows sharded
+    over `axis`. The G leading dim (e.g. the four light groups) rides along
+    replicated-free — each device processes its row band of EVERY group in
+    one network call, keeping the MXU batch large."""
+    n = mesh.shape[axis]
+    grid, b = plan_bands(height, width, n, halo, multiple)
+    hp = grid.halo
+
+    def worker(band: Array, top: Array, bottom: Array) -> Array:
+        # band: (G, b, Wp, C); top/bottom: (G, hp, Wp, C) global strips.
+        i = jax.lax.axis_index(axis)
+        fwd = [(j, j + 1) for j in range(n - 1)]
+        bwd = [(j + 1, j) for j in range(n - 1)]
+        recv_top = jax.lax.ppermute(band[:, -hp:], axis, fwd)
+        recv_bot = jax.lax.ppermute(band[:, :hp], axis, bwd)
+        top_halo = jnp.where(i == 0, top, recv_top)
+        bot_halo = jnp.where(i == n - 1, bottom, recv_bot)
+        x = jnp.concatenate([top_halo, band, bot_halo], axis=1)
+        y = apply_fn(x)
+        return y[:, hp : hp + b]
+
+    sharded = jax.shard_map(
+        worker,
+        mesh=mesh,
+        in_specs=(P(None, axis), P(), P()),
+        out_specs=P(None, axis),
+        check_vma=False,
+    )
+
+    def f(frames: Array) -> Array:
+        plane = jax.vmap(lambda fr: tiled.pad_plane(fr, grid))(frames)
+        core = plane[:, hp : hp + grid.tile_h]
+        top = plane[:, :hp]
+        bottom = plane[:, hp + grid.tile_h :]
+        out = sharded(core, top, bottom)
+        return out[:, : grid.height, hp : hp + grid.width]
+
+    return jax.jit(f)

@@ -187,6 +187,60 @@ def group_input_channels(aux: Sequence[str] = passes.AUX_PASSES) -> int:
 GROUP_OUTPUT_CHANNELS = 6  # denoised log-demod direct + indirect
 
 
+def encode_joint_inputs(
+    pass_dict: Mapping[str, Array],
+    groups: Sequence[str] = LIGHT_GROUPS,
+    aux: Sequence[str] = passes.AUX_PASSES,
+    eps: float = DEMOD_EPS,
+) -> Array:
+    """Joint-group mode: every group's (log-demod direct, log-demod
+    indirect, albedo) stacked into ONE channel stack plus shared aux.
+
+    One network pass denoises all groups together — 1/G the deep-layer
+    FLOPs of the per-group batch and the network sees cross-group context
+    (e.g. glossy noise correlates with diffuse edges). Channel count:
+    9 * len(groups) + aux.
+    """
+    feats = []
+    for g in groups:
+        d_name, i_name, c_name = passes.group_passes(g)
+        albedo = pass_dict[c_name]
+        feats.append(_norm_radiance(demodulate(pass_dict[d_name], albedo, eps)))
+        feats.append(_norm_radiance(demodulate(pass_dict[i_name], albedo, eps)))
+        feats.append(albedo)
+    for a in aux:
+        feats.append(normalize(a, pass_dict[a]))
+    return jnp.concatenate(feats, axis=-1)
+
+
+def decode_joint_outputs(
+    net_out: Array,
+    pass_dict: Mapping[str, Array],
+    groups: Sequence[str] = LIGHT_GROUPS,
+    eps: float = DEMOD_EPS,
+) -> Dict[str, Array]:
+    """Invert encode_joint: net_out (..., 6*G) -> raw direct/indirect per
+    group (albedo taken from pass_dict)."""
+    out: Dict[str, Array] = {}
+    for i, g in enumerate(groups):
+        d_name, i_name, c_name = passes.group_passes(g)
+        sl = net_out[..., 6 * i : 6 * (i + 1)]
+        dec = decode_group_outputs(sl, pass_dict[c_name], eps)
+        out[d_name] = dec["direct"]
+        out[i_name] = dec["indirect"]
+    return out
+
+
+def joint_input_channels(
+    groups: Sequence[str] = LIGHT_GROUPS, aux: Sequence[str] = passes.AUX_PASSES
+) -> int:
+    return 9 * len(groups) + sum(passes.channels(a) for a in aux)
+
+
+def joint_output_channels(groups: Sequence[str] = LIGHT_GROUPS) -> int:
+    return 6 * len(groups)
+
+
 def encode_rgb_inputs(
     pass_dict: Mapping[str, Array],
     aux: Sequence[str] = ("normal", "depth"),

@@ -150,3 +150,15 @@ def test_train_on_prepared_data(shard_dirs):
         losses_seen.append(float(mets["loss"]))
     assert all(np.isfinite(losses_seen))
     assert losses_seen[-1] < losses_seen[0]
+
+
+def test_batch_encoder_joint(shard_dirs):
+    out, metas, _ = shard_dirs
+    cfg = DataConfig(crop=32, batch_size=4, mode="joint")
+    it = loader.make_iterator(str(out / "train"), cfg, training=True)
+    batch = next(it)
+    enc = loader.make_batch_encoder(cfg)
+    xy = enc({k: np.asarray(v) for k, v in batch.items()})
+    assert xy["x"].shape == (4, 32, 32, loader.input_channels(cfg))
+    assert xy["y"].shape == (4, 32, 32, loader.output_channels(cfg))
+    assert np.isfinite(np.asarray(xy["x"])).all()

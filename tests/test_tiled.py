@@ -140,3 +140,45 @@ def test_rgb_pipeline_and_crop_agree_interior():
     np.testing.assert_allclose(
         np.asarray(out)[b:-b, b:-b], np.asarray(crop)[b:-b, b:-b], atol=2e-5
     )
+
+
+def test_joint_pipeline_end_to_end():
+    """Joint-group mode (all groups in one net pass): shapes, finiteness,
+    recomposition identity, aux passthrough."""
+    clean = synthetic.generate_clean_passes(48, 64, seed=13)
+    noisy = synthetic.add_mc_noise(clean, spp=16, seed=3)
+    cfg = tiny_cfg(in_channels=transforms.joint_input_channels(),
+                   out_channels=transforms.joint_output_channels())
+    params = factory.init_params(cfg, jax.random.PRNGKey(0), spatial=32)
+    icfg = InferenceConfig(tile=0, compute_dtype="float32")
+    denoise, _ = pipeline.make_joint_frame_denoiser(cfg, icfg, 48, 64)
+    out = denoise(params, {k: jnp.asarray(v) for k, v in noisy.items()})
+    assert out["combined"].shape == (48, 64, 3)
+    assert out["glossy_indirect"].shape == (48, 64, 3)
+    assert np.isfinite(np.asarray(out["combined"])).all()
+    rec = transforms.recompose({k: v for k, v in out.items() if k != "combined"})
+    np.testing.assert_allclose(
+        np.asarray(rec), np.asarray(out["combined"]), rtol=1e-5, atol=1e-5
+    )
+
+
+def test_joint_encode_decode_identity():
+    """decode_joint(encode_joint|identity-net) reproduces clean radiance."""
+    clean = synthetic.generate_clean_passes(24, 24, seed=14)
+    d = {k: jnp.asarray(v) for k, v in clean.items()}
+    x = transforms.encode_joint_inputs(d)
+    assert x.shape == (24, 24, transforms.joint_input_channels())
+    # identity "network": pick the encoded direct/indirect channels per group
+    slots = []
+    for i in range(4):
+        slots.append(x[..., 9 * i : 9 * i + 6])
+    net_out = jnp.concatenate(slots, axis=-1)
+    dec = transforms.decode_joint_outputs(net_out, d)
+    np.testing.assert_allclose(
+        np.asarray(dec["diffuse_direct"]), clean["diffuse_direct"],
+        rtol=1e-3, atol=1e-4,
+    )
+    np.testing.assert_allclose(
+        np.asarray(dec["transmission_indirect"]), clean["transmission_indirect"],
+        rtol=1e-3, atol=1e-4,
+    )

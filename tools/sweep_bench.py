@@ -72,13 +72,12 @@ def main():
     frame = {k: jax.device_put(jnp.asarray(v)) for k, v in noisy.items()}
 
     configs = [
-        # whole-frame mode (tile=0): zero interior halo waste
-        (ModelConfig(**base, base_width=32, depth=3, convs_per_level=2), 0),
-        (ModelConfig(**base, base_width=32, depth=3, convs_per_level=2, stem_stride=2), 0),
-        (ModelConfig(**base, base_width=48, depth=3, convs_per_level=2, stem_stride=2), 0),
-        (ModelConfig(**base, base_width=64, depth=3, convs_per_level=2, stem_stride=2), 0),
-        (ModelConfig(**base, base_width=64, depth=3, convs_per_level=1, stem_stride=2), 0),
-        (ModelConfig(**base, base_width=96, depth=3, convs_per_level=2, stem_stride=2), 0),
+        # round 3: whole-frame s2d, cpl=1 family (97.8 ms at bw64/d3)
+        (ModelConfig(**base, base_width=48, depth=3, convs_per_level=1, stem_stride=2), 0),
+        (ModelConfig(**base, base_width=96, depth=3, convs_per_level=1, stem_stride=2), 0),
+        (ModelConfig(**base, base_width=128, depth=3, convs_per_level=1, stem_stride=2), 0),
+        (ModelConfig(**base, base_width=64, depth=4, convs_per_level=1, stem_stride=2), 0),
+        (ModelConfig(**base, base_width=96, depth=4, convs_per_level=1, stem_stride=2), 0),
     ]
     for mcfg, tile in configs:
         try:
