@@ -23,6 +23,7 @@ from __future__ import annotations
 import json
 import sys
 import time
+from pathlib import Path
 
 import jax
 import jax.numpy as jnp
@@ -49,9 +50,36 @@ def main() -> None:
     log(f"device: {jax.devices()[0]}")
 
     params = factory.init_params(FLAGSHIP, jax.random.PRNGKey(0), spatial=64)
-    icfg = InferenceConfig(tile=256, compute_dtype="bfloat16")
-    denoise, grid = pipeline.make_group_frame_denoiser(FLAGSHIP, icfg, H, W)
-    log(f"grid: {grid} (net tile {grid.net_size}, {grid.n_tiles} tiles x 4 groups)")
+    trained = None
+    root = Path(__file__).parent
+    npz = root / "weights" / "flagship_ema_f16.npz"
+    ckpt_dir = root / "checkpoints" / "flagship"
+    if npz.exists():
+        sys.path.insert(0, str(root))
+        from tools.export_release_weights import load_release_params
+
+        params = load_release_params(npz)
+        trained = f"release weights {npz.name}"
+    elif ckpt_dir.exists():
+        from deepdenoiser_tpu.config import TrainConfig
+        from deepdenoiser_tpu.training import train as train_lib
+        from deepdenoiser_tpu.training.checkpoint import CheckpointManager
+
+        state = train_lib.create_state(
+            FLAGSHIP, TrainConfig(ema_decay=0.999), jax.random.PRNGKey(0), spatial=64
+        )
+        mgr = CheckpointManager(ckpt_dir)
+        restored = mgr.restore_latest(state)
+        mgr.close()
+        if restored is not None:
+            st = restored[0]
+            params = st.ema_params if st.ema_params is not None else st.params
+            trained = "orbax training checkpoint"
+    log(f"weights: {trained or 'random init'}")
+
+    icfg = InferenceConfig(tile=0, compute_dtype="bfloat16")  # whole-frame
+    denoise, grid = pipeline.make_joint_frame_denoiser(FLAGSHIP, icfg, H, W)
+    log(f"grid: {grid} (net {grid.net_h}x{grid.net_w}, joint 4-group single pass)")
 
     log("generating synthetic 1080p pass set...")
     clean = synthetic.generate_clean_passes(H, W, seed=0)
@@ -70,9 +98,11 @@ def main() -> None:
     @jax.jit
     def quality(params, frame, clean_combined):
         out = denoise(params, frame)
-        return metrics.psnr(
-            metrics.tonemap_for_metrics(out["combined"])[None, ..., :],
-            metrics.tonemap_for_metrics(clean_combined)[None, ..., :],
+        ref = metrics.tonemap_for_metrics(clean_combined)[None]
+        return (
+            metrics.psnr(metrics.tonemap_for_metrics(out["combined"])[None], ref),
+            metrics.psnr(metrics.tonemap_for_metrics(frame["combined"])[None], ref),
+            metrics.ssim(metrics.tonemap_for_metrics(out["combined"])[None], ref)[0],
         )
 
     def chain(k: int) -> float:
@@ -96,8 +126,11 @@ def main() -> None:
     fps = 1e3 / ms
     log(f"per-frame: {ms:.2f} ms  ({fps:.2f} fps)  samples={[f'{1e3*x:.1f}' for x in per_frame]}")
 
-    psnr = float(quality(params, frame, clean_combined))
-    log(f"tonemapped PSNR vs clean (untrained net): {psnr:.2f} dB")
+    p_den, p_noisy, ssim_den = (float(x) for x in quality(params, frame, clean_combined))
+    log(
+        f"tonemapped vs clean: denoised {p_den:.2f} dB (SSIM {ssim_den:.4f}) "
+        f"| noisy input {p_noisy:.2f} dB | gain {p_den - p_noisy:+.2f} dB"
+    )
 
     print(
         json.dumps(

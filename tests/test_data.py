@@ -66,3 +66,23 @@ def test_frame_set_generator():
     assert len(noisy) == 4
     for n in noisy:
         assert set(n) == set(clean)
+
+
+def test_synthetic_jax_consistency():
+    """On-device generator: recomposition identity + batch encode shapes."""
+    import jax
+    import jax.numpy as jnp
+
+    from deepdenoiser_tpu import transforms
+    from deepdenoiser_tpu.data import synthetic_jax as sj
+
+    clean = sj.generate_clean_passes(jax.random.PRNGKey(0), 24, 32)
+    assert set(clean) == set(passes.ALL_PASSES)
+    rec = transforms.recompose({k: v for k, v in clean.items() if k != "combined"})
+    assert float(jnp.abs(rec - clean["combined"]).max()) < 1e-5
+    noisy = sj.add_mc_noise(jax.random.PRNGKey(1), clean, 4.0)
+    assert float(jnp.abs(noisy["combined"] - clean["combined"]).mean()) > 1e-3
+    for mode, cout in (("joint", 24), ("group", 6), ("rgb", 3)):
+        b = sj.training_batch(jax.random.PRNGKey(2), 2, 16, mode)
+        assert b["y"].shape[-1] == cout, mode
+        assert bool(jnp.isfinite(b["x"]).all())

@@ -1,0 +1,86 @@
+"""Export compact release weights from a training checkpoint.
+
+    python tools/export_release_weights.py [--ckpt checkpoints/flagship] \
+        [--out weights/flagship_ema_f16.npz]
+
+Saves the EMA parameters (fallback: raw params) as float16 in a flat npz —
+~4x smaller than the orbax training checkpoint (no optimizer state, half
+precision), small enough to version in git. bench.py and the demo load it
+when present. The flagship computes in bfloat16, so fp16 storage costs no
+inference quality.
+"""
+
+from __future__ import annotations
+
+import argparse
+import sys
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parents[1]))
+
+import jax
+import numpy as np
+
+
+def flatten(tree, prefix=""):
+    out = {}
+    for k, v in tree.items():
+        p = f"{prefix}/{k}" if prefix else k
+        if isinstance(v, dict):
+            out.update(flatten(v, p))
+        else:
+            out[p] = np.asarray(v)
+    return out
+
+
+def unflatten(flat):
+    root = {}
+    for path, arr in flat.items():
+        parts = path.split("/")
+        node = root
+        for p in parts[:-1]:
+            node = node.setdefault(p, {})
+        node[parts[-1]] = arr
+    return root
+
+
+def load_release_params(path):
+    """npz -> {'params': ...} pytree (float32)."""
+    with np.load(path) as z:
+        flat = {k: z[k].astype(np.float32) for k in z.files}
+    return unflatten(flat)
+
+
+def main() -> int:
+    p = argparse.ArgumentParser(description=__doc__)
+    p.add_argument("--ckpt", default="checkpoints/flagship")
+    p.add_argument("--out", default="weights/flagship_ema_f16.npz")
+    args = p.parse_args()
+
+    from __graft_entry__ import FLAGSHIP
+    from deepdenoiser_tpu.config import TrainConfig
+    from deepdenoiser_tpu.training import train as train_lib
+    from deepdenoiser_tpu.training.checkpoint import CheckpointManager
+
+    state = train_lib.create_state(
+        FLAGSHIP, TrainConfig(ema_decay=0.999), jax.random.PRNGKey(0), spatial=64
+    )
+    mgr = CheckpointManager(args.ckpt)
+    restored = mgr.restore_latest(state)
+    mgr.close()
+    if restored is None:
+        print(f"no checkpoint under {args.ckpt}", file=sys.stderr)
+        return 1
+    st = restored[0]
+    params = st.ema_params if st.ema_params is not None else st.params
+    flat = {k: v.astype(np.float16) for k, v in flatten(params).items()}
+    Path(args.out).parent.mkdir(parents=True, exist_ok=True)
+    np.savez_compressed(args.out, **flat)
+    size = Path(args.out).stat().st_size / 1e6
+    print(f"wrote {args.out} ({size:.1f} MB, step {int(st.step)}, "
+          f"{sum(v.size for v in flat.values())/1e6:.2f}M params)")
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -1,0 +1,83 @@
+"""Pretrain the flagship denoiser on-device with jit-generated synthetic
+batches, and save an orbax checkpoint the bench/demo loads.
+
+    python tools/pretrain_flagship.py [--steps 3000] [--out checkpoints/flagship]
+
+Everything — batch synthesis, encoding, fwd/bwd, Adam — is one compiled
+program per step; the host only ticks the RNG counter and reads the loss
+every --log-every steps (one scalar fetch). Built for the tunneled TPU
+where any host->device data feed would dominate (MEMORY tpu-env-facts).
+"""
+
+from __future__ import annotations
+
+import argparse
+import sys
+import time
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parents[1]))
+
+import jax
+import jax.numpy as jnp
+
+from __graft_entry__ import FLAGSHIP
+from deepdenoiser_tpu.config import TrainConfig
+from deepdenoiser_tpu.data import synthetic_jax
+from deepdenoiser_tpu.ops.losses import LossConfig
+from deepdenoiser_tpu.training import train as train_lib
+from deepdenoiser_tpu.training.checkpoint import CheckpointManager
+
+
+def main() -> int:
+    p = argparse.ArgumentParser(description=__doc__)
+    p.add_argument("--steps", type=int, default=3000)
+    p.add_argument("--batch", type=int, default=16)
+    p.add_argument("--crop", type=int, default=96)
+    p.add_argument("--lr", type=float, default=1e-3)
+    p.add_argument("--out", default="checkpoints/flagship")
+    p.add_argument("--log-every", type=int, default=200)
+    args = p.parse_args()
+
+    mcfg = FLAGSHIP
+    tcfg = TrainConfig(
+        steps=args.steps, warmup_steps=min(200, args.steps // 10),
+        learning_rate=args.lr, schedule="cosine", ema_decay=0.999,
+        loss=LossConfig(kind="smape", gradient_weight=0.5),
+    )
+    mode = {24: "joint", 6: "group", 3: "rgb"}[mcfg.out_channels]
+
+    state = train_lib.create_state(mcfg, tcfg, jax.random.PRNGKey(0), spatial=args.crop)
+    base_step = train_lib.make_train_step(mcfg, tcfg, None)
+    gen = lambda key: synthetic_jax.training_batch(key, args.batch, args.crop, mode)  # noqa: E731
+
+    resume_mgr = CheckpointManager(args.out, keep=1)
+    restored = resume_mgr.restore_latest(state)
+    start = 0
+    if restored is not None:
+        state = restored[0]
+        start = int(state.step)
+        print(f"resuming from step {start}", flush=True)
+    resume_mgr.close()
+
+    key = jax.random.PRNGKey(42 + start)
+    t0 = time.time()
+    for i in range(start + 1, args.steps + 1):
+        key, k = jax.random.split(key)
+        state, mets = base_step(state, gen(k))
+        if i % args.log_every == 0 or i == args.steps:
+            loss = float(mets["loss"])  # scalar fetch; forces the chain
+            rate = (i - start) / (time.time() - t0)
+            print(f"step {i}/{args.steps} loss={loss:.5f} ({rate:.1f} steps/s)",
+                  flush=True)
+
+    mgr = CheckpointManager(args.out, keep=1)
+    mgr.save(args.steps, state, extra={"model": "flagship", "mode": mode},
+             force=True)
+    mgr.close()
+    print(f"saved checkpoint to {args.out}")
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
