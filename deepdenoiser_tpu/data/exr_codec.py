@@ -64,7 +64,7 @@ def _read_null_str(buf: bytes, pos: int, maxlen: int = 256) -> Tuple[str, int]:
     return buf[pos:end].decode("utf-8", "replace"), end + 1
 
 
-def _zip_unpredict_and_merge(data: bytes) -> bytes:
+def _zip_unpredict_and_merge_np(data: bytes) -> bytes:
     # undo delta predictor: raw[0] = in[0]; raw[i] = raw[i-1] + in[i] - 128
     a = np.frombuffer(data, dtype=np.uint8).astype(np.int64)
     a[1:] -= 128
@@ -76,7 +76,7 @@ def _zip_unpredict_and_merge(data: bytes) -> bytes:
     return out.tobytes()
 
 
-def _zip_split_and_predict(data: bytes) -> bytes:
+def _zip_split_and_predict_np(data: bytes) -> bytes:
     src = np.frombuffer(data, dtype=np.uint8)
     half = (len(data) + 1) // 2
     tmp = np.empty(len(data), dtype=np.uint8)
@@ -87,6 +87,21 @@ def _zip_split_and_predict(data: bytes) -> bytes:
     d[0] = t[0]
     d[1:] = (t[1:] - t[:-1] + 128) % 256
     return d.astype(np.uint8).tobytes()
+
+
+def _zip_unpredict_and_merge(data: bytes) -> bytes:
+    """ZIP post-processing; native single-pass C when built, numpy otherwise."""
+    from deepdenoiser_tpu.data import _native
+
+    out = _native.unpredict_and_merge(data)
+    return out if out is not None else _zip_unpredict_and_merge_np(data)
+
+
+def _zip_split_and_predict(data: bytes) -> bytes:
+    from deepdenoiser_tpu.data import _native
+
+    out = _native.split_and_predict(data)
+    return out if out is not None else _zip_split_and_predict_np(data)
 
 
 def _decompress_block(data: bytes, expected: int, compression: int) -> bytes:

@@ -103,3 +103,20 @@ def test_frame_dir_multilayer_fallback(tmp_path):
     loaded = exr.load_frame_dir(tmp_path)
     assert set(loaded) == set(clean)
     np.testing.assert_array_equal(loaded["combined"], clean["combined"])
+
+
+def test_native_parity():
+    """Native C split/predict == numpy reference (when the lib is built)."""
+    from deepdenoiser_tpu.data import _native
+
+    if not _native.available():
+        pytest.skip("native/libexr_pack.so not built")
+    rng = np.random.default_rng(7)
+    for n in (1, 2, 7, 1000, 4097):
+        data = rng.integers(0, 256, size=n, dtype=np.uint8).tobytes()
+        enc_np = exr_codec._zip_split_and_predict_np(data)
+        enc_c = _native.split_and_predict(data)
+        assert enc_c == enc_np, n
+        dec_np = exr_codec._zip_unpredict_and_merge_np(enc_np)
+        dec_c = _native.unpredict_and_merge(enc_np)
+        assert dec_c == dec_np == data, n

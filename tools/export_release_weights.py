@@ -19,6 +19,10 @@ from pathlib import Path
 sys.path.insert(0, str(Path(__file__).resolve().parents[1]))
 
 import jax
+
+# weight surgery needs no TPU; CPU avoids remote compiles for the template init
+jax.config.update("jax_platforms", "cpu")
+
 import numpy as np
 
 
