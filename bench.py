@@ -29,12 +29,6 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-# Persistent compilation cache: repeat runs skip the (remote) compiles.
-jax.config.update(
-    "jax_compilation_cache_dir", str(Path(__file__).parent / ".jax_cache")
-)
-jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
-
 H, W = 1080, 1920
 BASELINE_FPS = 10.0  # <100 ms/frame north star
 K_CHAIN = 8

@@ -6,9 +6,6 @@ import sys
 import time
 
 import jax
-from pathlib import Path as _P
-jax.config.update("jax_compilation_cache_dir", str(_P(__file__).resolve().parents[1] / ".jax_cache"))
-jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 import jax.numpy as jnp
 import numpy as np
 
