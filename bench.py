@@ -58,7 +58,9 @@ def main() -> None:
         sys.path.insert(0, str(root))
         from tools.export_release_weights import load_release_params
 
-        params = load_release_params(npz)
+        # device_put ONCE — host-side numpy params would be re-uploaded
+        # through the tunnel on every jitted call (measured: 2 s/frame).
+        params = jax.device_put(load_release_params(npz))
         trained = f"release weights {npz.name}"
     elif ckpt_dir.exists():
         from deepdenoiser_tpu.config import TrainConfig
@@ -83,7 +85,7 @@ def main() -> None:
 
     log("generating synthetic 1080p pass set...")
     clean = synthetic.generate_clean_passes(H, W, seed=0)
-    noisy = synthetic.add_mc_noise(clean, spp=8, seed=1)
+    noisy = synthetic.add_mc_noise(clean, spp=4, seed=1)  # low-spp: the use case
     frame = {k: jax.device_put(jnp.asarray(v)) for k, v in noisy.items()}
     clean_combined = jax.device_put(jnp.asarray(clean["combined"]))
 

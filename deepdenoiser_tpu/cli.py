@@ -154,8 +154,8 @@ def build_parser() -> argparse.ArgumentParser:
 
     def common(sp):
         sp.add_argument("--config", help="experiment config JSON")
-        sp.add_argument("--preset", choices=["unet-small", "unet-multiscale",
-                                             "tiramisu", "kpn"])
+        sp.add_argument("--preset", choices=["flagship", "unet-small",
+                                             "unet-multiscale", "tiramisu", "kpn"])
 
     sp = sub.add_parser("prepare-data", help="EXR render root -> training shards")
     common(sp)

@@ -122,6 +122,18 @@ def load(path: str | Path, cls: Type[T] = ExperimentConfig) -> T:
 
 # Preset experiment configs mirroring the reference's shipped JSON presets.
 PRESETS: Dict[str, ExperimentConfig] = {
+    # The TPU-sweep-selected production model: joint 4-group single pass,
+    # space-to-depth stem, bf16 — 53.8 ms / 1080p multi-pass frame on v5e
+    # (tools/sweep_joint.py; see __graft_entry__.FLAGSHIP).
+    "flagship": ExperimentConfig(
+        name="flagship",
+        model=ModelConfig(
+            backbone="unet", base_width=96, depth=3, convs_per_level=2,
+            stem_stride=2, compute_dtype="bfloat16",
+        ),
+        data=DataConfig(mode="joint"),
+        train=TrainConfig(ema_decay=0.999),
+    ),
     "unet-small": ExperimentConfig(
         name="unet-small",
         model=ModelConfig(backbone="unet", base_width=32, depth=3, n_scales=1),

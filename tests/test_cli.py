@@ -101,3 +101,20 @@ def test_eval_command(workspace):
                    "--checkpoint", str(ws / "run" / "checkpoints"),
                    "--renders", str(ws / "renders")])
     assert rc == 0
+
+
+def test_presets_channel_validation():
+    """Every preset builds a channel-consistent model through loop's
+    validator and has a computable halo."""
+    import dataclasses as dc
+
+    from deepdenoiser_tpu.data import loader as L
+    from deepdenoiser_tpu.models import factory
+    from deepdenoiser_tpu.training.loop import _validate_channels
+
+    for name, cfg in config_lib.PRESETS.items():
+        fixed = _validate_channels(cfg)
+        assert fixed.model.in_channels == L.input_channels(fixed.data), name
+        assert fixed.model.out_channels == L.output_channels(fixed.data), name
+        assert factory.halo(fixed.model) > 0, name
+        assert factory.spatial_multiple(fixed.model) >= 1, name

@@ -51,7 +51,7 @@ def main() -> int:
 
         wpath = Path(__file__).resolve().parents[1] / "weights/flagship_ema_f16.npz"
         if wpath.exists():
-            params = load_release_params(wpath)
+            params = jax.device_put(load_release_params(wpath))
             print("using release weights", file=sys.stderr)
     except Exception:
         pass
