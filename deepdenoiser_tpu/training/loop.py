@@ -31,24 +31,37 @@ from deepdenoiser_tpu.training.checkpoint import CheckpointManager
 
 
 class MetricLogger:
-    """JSONL + stdout scalar logging (stands in for TensorBoard summaries;
-    SURVEY.md §5 observability)."""
+    """JSONL + stdout scalar logging, plus TensorBoard summaries via
+    clu.metric_writers when available (the reference's estimator emitted
+    TensorBoard scalars — SURVEY.md §5 observability)."""
 
     def __init__(self, workdir: Path, name: str = "train"):
         workdir.mkdir(parents=True, exist_ok=True)
         self._f = open(workdir / f"metrics_{name}.jsonl", "a")
         self._name = name
+        self._tb = None
+        try:
+            from clu import metric_writers
+
+            self._tb = metric_writers.SummaryWriter(str(workdir / "tb" / name))
+        except Exception:
+            pass  # clu/tensorboard unavailable: JSONL remains authoritative
 
     def log(self, step: int, metrics: Dict[str, Any]) -> None:
+        scalars = {k: float(v) for k, v in metrics.items()}
         rec = {"step": step, "time": time.time()}
-        rec.update({k: float(v) for k, v in metrics.items()})
+        rec.update(scalars)
         self._f.write(json.dumps(rec) + "\n")
         self._f.flush()
-        msg = " ".join(f"{k}={float(v):.5g}" for k, v in metrics.items())
+        if self._tb is not None:
+            self._tb.write_scalars(step, scalars)
+        msg = " ".join(f"{k}={v:.5g}" for k, v in scalars.items())
         print(f"[{self._name} step {step}] {msg}", flush=True)
 
     def close(self):
         self._f.close()
+        if self._tb is not None:
+            self._tb.close()
 
 
 def _validate_channels(cfg: ExperimentConfig) -> ExperimentConfig:

@@ -187,6 +187,15 @@ def group_input_channels(aux: Sequence[str] = passes.AUX_PASSES) -> int:
 GROUP_OUTPUT_CHANNELS = 6  # denoised log-demod direct + indirect
 
 
+def encode_flag_channels(flags: "passes.FeatureFlags", height: int, width: int) -> Array:
+    """Feature-flag bits as constant input channels (upstream:
+    FeatureFlags' flag tensors — SURVEY.md C3): lets one network train
+    across scenes with heterogeneous pass sets. Concatenate to any encoded
+    input stack; channel count == len(flags.mask_bits())."""
+    bits = jnp.asarray(flags.mask_bits(), jnp.float32)
+    return jnp.broadcast_to(bits[None, None, :], (height, width, bits.shape[0]))
+
+
 def encode_joint_inputs(
     pass_dict: Mapping[str, Array],
     groups: Sequence[str] = LIGHT_GROUPS,

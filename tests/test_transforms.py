@@ -104,3 +104,11 @@ def test_numpy_and_jax_recompose_agree(noisy):
     a = np.asarray(transforms.recompose(d))
     b = synthetic.recompose_np({k: v for k, v in noisy.items() if k != "combined"})
     np.testing.assert_allclose(a, b, rtol=1e-6)
+
+
+def test_flag_channels():
+    ff = passes.FeatureFlags(groups=("diffuse",), use_depth=False)
+    ch = transforms.encode_flag_channels(ff, 8, 10)
+    assert ch.shape == (8, 10, 7)
+    np.testing.assert_array_equal(np.asarray(ch[0, 0]), np.asarray(ff.mask_bits(), dtype=np.float32))
+    assert np.asarray(ch).std(axis=(0, 1)).max() == 0  # constant per channel
