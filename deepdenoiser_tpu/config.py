@@ -129,7 +129,7 @@ PRESETS: Dict[str, ExperimentConfig] = {
         name="flagship",
         model=ModelConfig(
             backbone="unet", base_width=96, depth=3, convs_per_level=2,
-            stem_stride=2, compute_dtype="bfloat16",
+            stem_stride=2, compute_dtype="bfloat16", predict_residual=True,
         ),
         data=DataConfig(mode="joint"),
         train=TrainConfig(ema_decay=0.999),

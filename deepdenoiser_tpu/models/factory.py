@@ -31,6 +31,12 @@ class ModelConfig:
     kpn_size: int = 5
     kpn_slots: int = 2  # e.g. direct + indirect
     kpn_pallas: bool = False  # VMEM filter apply instead of im2col patches
+    # Predict a correction to the noisy encoded signal instead of the signal:
+    # out = net(x) + signal_channels(x). Untrained nets start near-identity
+    # and training strictly improves on the input. Signal channels are
+    # located by the encode conventions (transforms.py): rgb first 3,
+    # group first 6, joint 6-of-9 per group.
+    predict_residual: bool = False
     compute_dtype: str = "float32"  # 'float32' | 'bfloat16'
     # unet params
     base_width: int = 64
@@ -97,7 +103,37 @@ class DenoiserModel(nn.Module):
             # (log-demod) channels, filter there — convex combos in log space
             # are still stable; decode happens downstream as usual.
             return head(x, signal)
-        return net(x)
+        out = net(x)
+        if cfg.predict_residual:
+            # contiguous slices (not a gather): XLA fuses these into the
+            # consumer add with zero extra HBM traffic
+            idx = signal_indices(cfg)
+            runs = []
+            start = 0
+            for i in range(1, len(idx) + 1):
+                if i == len(idx) or idx[i] != idx[i - 1] + 1:
+                    runs.append(
+                        jax.lax.slice_in_dim(x, idx[start], idx[i - 1] + 1, axis=-1)
+                    )
+                    start = i
+            signal = runs[0] if len(runs) == 1 else jnp.concatenate(runs, axis=-1)
+            out = out + signal.astype(out.dtype)
+        return out
+
+
+def signal_indices(cfg: ModelConfig) -> Tuple[int, ...]:
+    """Input-channel indices of the noisy encoded signal matching the
+    output channels (the encode conventions of transforms.py)."""
+    if cfg.out_channels == 24:  # joint: [demod_d(3), demod_i(3), albedo(3)]*4 + aux
+        return tuple(9 * g + j for g in range(4) for j in range(6))
+    if cfg.out_channels == 6:  # group: [demod_d(3), demod_i(3), albedo, aux]
+        return tuple(range(6))
+    if cfg.out_channels == 3:  # rgb: [log combined(3), albedo, aux]
+        return tuple(range(3))
+    raise ValueError(
+        f"predict_residual needs a known channel convention; out_channels="
+        f"{cfg.out_channels} is not one of 3/6/24"
+    )
 
 
 def _backbone_spec(cfg: ModelConfig):

@@ -194,3 +194,29 @@ def test_compose_scales_dc_follows_coarse():
     np.testing.assert_allclose(
         np.asarray(layers.avg_downsample(out, 2)), np.asarray(coarse), atol=1e-5
     )
+
+
+def test_predict_residual_adds_signal_channels():
+    """Residual mode output == plain output + gathered signal channels."""
+    import numpy as _np
+
+    base = dict(backbone="unet", in_channels=14, out_channels=6, base_width=4,
+                depth=1, convs_per_level=1)
+    x = jax.random.normal(jax.random.PRNGKey(5), (1, 16, 16, 14))
+    cfg_p = ModelConfig(**base, predict_residual=False)
+    cfg_r = ModelConfig(**base, predict_residual=True)
+    params = factory.init_params(cfg_p, jax.random.PRNGKey(0), spatial=16)
+    y_p = factory.build_model(cfg_p).apply(params, x)
+    y_r = factory.build_model(cfg_r).apply(params, x)
+    idx = factory.signal_indices(cfg_r)
+    _np.testing.assert_allclose(
+        _np.asarray(y_r), _np.asarray(y_p + x[..., list(idx)]), atol=1e-6
+    )
+
+
+def test_signal_indices_joint_layout():
+    cfg = ModelConfig(in_channels=41, out_channels=24)
+    idx = factory.signal_indices(cfg)
+    assert len(idx) == 24
+    assert idx[:6] == (0, 1, 2, 3, 4, 5)
+    assert idx[6:12] == (9, 10, 11, 12, 13, 14)

@@ -131,3 +131,26 @@ def test_checkpoint_keep_limit(tmp_path):
     mgr.wait()
     assert mgr.latest_step() == 3
     mgr.close()
+
+
+def test_train_step_no_retracing():
+    """The step compiles once and is reused — retracing (the TPU analogue
+    of a perf race) would show as cache misses (SURVEY.md §5)."""
+    mcfg, tcfg = tiny_cfgs()
+    state = T.create_state(mcfg, tcfg, jax.random.PRNGKey(0), spatial=16)
+    step = T.make_train_step(mcfg, tcfg, None)
+    for _ in range(3):
+        state, _ = step(state, fixed_batch(n=2))
+    assert step._cache_size() == 1
+
+
+def test_nan_inputs_surface_in_metrics():
+    """NaN poisoning is visible in the loss (debuggable via jax_debug_nans),
+    not silently propagated into saved params as zeros."""
+    mcfg, tcfg = tiny_cfgs()
+    state = T.create_state(mcfg, tcfg, jax.random.PRNGKey(0), spatial=16)
+    step = T.make_train_step(mcfg, tcfg, None)
+    batch = fixed_batch(n=2)
+    batch["x"] = batch["x"].at[0, 0, 0, 0].set(jnp.nan)
+    _, mets = step(state, batch)
+    assert not np.isfinite(float(mets["loss"]))
