@@ -34,16 +34,18 @@ def main() -> int:
     p.add_argument("--steps", type=int, default=3000)
     p.add_argument("--batch", type=int, default=16)
     p.add_argument("--crop", type=int, default=96)
-    p.add_argument("--lr", type=float, default=1e-3)
+    p.add_argument("--lr", type=float, default=5e-4)
     p.add_argument("--out", default="checkpoints/flagship")
     p.add_argument("--log-every", type=int, default=200)
+    p.add_argument("--loss", default="l1", choices=["l1", "l2", "smape", "huber"])
+    p.add_argument("--grad-weight", type=float, default=0.2)
     args = p.parse_args()
 
     mcfg = FLAGSHIP
     tcfg = TrainConfig(
         steps=args.steps, warmup_steps=min(200, args.steps // 10),
         learning_rate=args.lr, schedule="cosine", ema_decay=0.999,
-        loss=LossConfig(kind="smape", gradient_weight=0.5),
+        loss=LossConfig(kind=args.loss, gradient_weight=args.grad_weight),
     )
     mode = {24: "joint", 6: "group", 3: "rgb"}[mcfg.out_channels]
 
