@@ -130,6 +130,7 @@ PRESETS: Dict[str, ExperimentConfig] = {
         model=ModelConfig(
             backbone="unet", base_width=96, depth=3, convs_per_level=2,
             stem_stride=2, compute_dtype="bfloat16", predict_residual=True,
+            act="leaky_relu",
         ),
         data=DataConfig(mode="joint"),
         train=TrainConfig(ema_decay=0.999),

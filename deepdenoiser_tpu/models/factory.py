@@ -77,7 +77,11 @@ class DenoiserModel(nn.Module):
                 act=cfg.act,
                 stem_stride=cfg.stem_stride,
             )
-            backbone: nn.Module = UNet(spec, out_ch, dtype=cfg.dtype)
+            backbone: nn.Module = UNet(
+                spec, out_ch,
+                head_zero_init=cfg.predict_residual and not cfg.kernel_prediction,
+                dtype=cfg.dtype,
+            )
         elif cfg.backbone == "tiramisu":
             tspec = TiramisuSpec(
                 growth_rate=cfg.growth_rate,

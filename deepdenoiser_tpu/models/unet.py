@@ -66,10 +66,17 @@ class UNetSpec:
 
 
 class UNet(nn.Module):
-    """features-in → out_channels-out U-Net. Output layer is linear."""
+    """features-in → out_channels-out U-Net. Output layer is linear.
+
+    head_zero_init: start the head at exactly zero — with residual
+    prediction the model begins as the identity and learns corrections
+    smoothly (avoids the early collapse where the fastest loss reduction
+    is killing the random output through saturated activations).
+    """
 
     spec: UNetSpec
     out_channels: int
+    head_zero_init: bool = False
     dtype: Any = jnp.float32
     param_dtype: Any = jnp.float32
 
@@ -110,9 +117,10 @@ class UNet(nn.Module):
 
         # Linear head, fp32 output for stable losses/inverse-transforms
         head_ch = self.out_channels * (spec.stem_stride**2)
-        out = nn.Conv(
-            head_ch, (1, 1), dtype=self.dtype, param_dtype=self.param_dtype
-        )(x)
+        head_kw = dict(dtype=self.dtype, param_dtype=self.param_dtype)
+        if self.head_zero_init:
+            head_kw["kernel_init"] = nn.initializers.zeros
+        out = nn.Conv(head_ch, (1, 1), **head_kw)(x)
         if spec.stem_stride == 2:
             out = layers.depth_to_space(out, 2)
         return out.astype(jnp.float32)
