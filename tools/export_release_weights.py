@@ -59,15 +59,17 @@ def main() -> int:
     p = argparse.ArgumentParser(description=__doc__)
     p.add_argument("--ckpt", default="checkpoints/flagship")
     p.add_argument("--out", default="weights/flagship_ema_f16.npz")
+    p.add_argument("--model", default="flagship")
     args = p.parse_args()
 
-    from __graft_entry__ import FLAGSHIP
     from deepdenoiser_tpu.config import TrainConfig
     from deepdenoiser_tpu.training import train as train_lib
     from deepdenoiser_tpu.training.checkpoint import CheckpointManager
+    from tools.pretrain_flagship import MODELS
 
     state = train_lib.create_state(
-        FLAGSHIP, TrainConfig(ema_decay=0.999), jax.random.PRNGKey(0), spatial=64
+        MODELS[args.model], TrainConfig(ema_decay=0.999), jax.random.PRNGKey(0),
+        spatial=64,
     )
     mgr = CheckpointManager(args.ckpt)
     restored = mgr.restore_latest(state)

@@ -23,6 +23,16 @@ import jax.numpy as jnp
 
 from __graft_entry__ import FLAGSHIP
 from deepdenoiser_tpu.config import TrainConfig
+from deepdenoiser_tpu.models.factory import ModelConfig
+from deepdenoiser_tpu import transforms
+
+# Small combined-RGB model for BASELINE config #1 (single-crop CPU denoise).
+RGB_SMALL = ModelConfig(
+    backbone="unet", in_channels=transforms.rgb_input_channels(),
+    out_channels=3, base_width=32, depth=2, convs_per_level=1,
+    act="leaky_relu", compute_dtype="bfloat16", predict_residual=True,
+)
+MODELS = {"flagship": FLAGSHIP, "rgb-small": RGB_SMALL}
 from deepdenoiser_tpu.data import synthetic_jax
 from deepdenoiser_tpu.ops.losses import LossConfig
 from deepdenoiser_tpu.training import train as train_lib
@@ -39,9 +49,10 @@ def main() -> int:
     p.add_argument("--log-every", type=int, default=200)
     p.add_argument("--loss", default="l1", choices=["l1", "l2", "smape", "huber"])
     p.add_argument("--grad-weight", type=float, default=0.2)
+    p.add_argument("--model", default="flagship", choices=sorted(MODELS))
     args = p.parse_args()
 
-    mcfg = FLAGSHIP
+    mcfg = MODELS[args.model]
     tcfg = TrainConfig(
         steps=args.steps, warmup_steps=min(200, args.steps // 10),
         learning_rate=args.lr, schedule="cosine", ema_decay=0.999,
@@ -74,7 +85,7 @@ def main() -> int:
                   flush=True)
 
     mgr = CheckpointManager(args.out, keep=1)
-    mgr.save(args.steps, state, extra={"model": "flagship", "mode": mode},
+    mgr.save(args.steps, state, extra={"model": args.model, "mode": mode},
              force=True)
     mgr.close()
     print(f"saved checkpoint to {args.out}")
