@@ -1,12 +1,14 @@
 """BASELINE config #5: 4K animation-sequence batch denoise with per-frame
 latency and PSNR/SSIM tracking.
 
-    python tools/bench_4k.py [--frames 4] [--tile 0]
+    python tools/bench_4k.py [--frames 4] [--tile 0] [--spp 4]
 
-Generates a short synthetic animation (per-frame seeds = temporal noise
-decorrelation, static scene), denoises at 3840x2160 with the flagship, and
-prints the sequence report (per-frame ms, PSNR, SSIM). tile=0 attempts
-whole-frame; pass --tile 1088 to force banded tiling if HBM is tight.
+Frames are synthesized ON DEVICE (data/synthetic_jax.py) — a 4K multi-pass
+set is ~1.5 GB, far too large to feed through the tunneled host link — and
+per-frame PSNR/SSIM are computed on device too; only scalars return.
+Reported latency is denoise-only (generation excluded), forced by the
+scalar fetch (~30 ms RTT included; see bench.py methodology).
+tile=0 runs whole-frame; pass --tile 1088 to band-tile if HBM is tight.
 """
 
 from __future__ import annotations
@@ -14,11 +16,13 @@ from __future__ import annotations
 import argparse
 import json
 import sys
+import time
 from pathlib import Path
 
 sys.path.insert(0, str(Path(__file__).resolve().parents[1]))
 
 import jax
+import jax.numpy as jnp
 import numpy as np
 
 
@@ -28,37 +32,78 @@ def main() -> int:
     p.add_argument("--height", type=int, default=2160)
     p.add_argument("--width", type=int, default=3840)
     p.add_argument("--tile", type=int, default=0)
-    p.add_argument("--spp", type=int, default=8)
+    p.add_argument("--spp", type=float, default=4.0)
     args = p.parse_args()
 
     from __graft_entry__ import FLAGSHIP
     from deepdenoiser_tpu.config import InferenceConfig
-    from deepdenoiser_tpu.data import synthetic
-    from deepdenoiser_tpu.inference import sequence
+    from deepdenoiser_tpu.data import synthetic_jax as sj
+    from deepdenoiser_tpu.inference import pipeline
     from deepdenoiser_tpu.models import factory
+    from deepdenoiser_tpu.ops import metrics
 
-    print(f"generating {args.frames} synthetic 4K frames...", file=sys.stderr)
-    clean = synthetic.generate_clean_passes(args.height, args.width, seed=0)
-    frames = [
-        synthetic.add_mc_noise(clean, spp=args.spp, seed=100 + i)
-        for i in range(args.frames)
-    ]
-    gts = [clean["combined"]] * args.frames
-
+    H, W = args.height, args.width
     params = factory.init_params(FLAGSHIP, jax.random.PRNGKey(0), spatial=64)
-    try:
+    wpath = Path(__file__).resolve().parents[1] / "weights/flagship_ema_f16.npz"
+    if wpath.exists():
         from tools.export_release_weights import load_release_params
 
-        wpath = Path(__file__).resolve().parents[1] / "weights/flagship_ema_f16.npz"
-        if wpath.exists():
-            params = jax.device_put(load_release_params(wpath))
-            print("using release weights", file=sys.stderr)
-    except Exception:
-        pass
+        params = jax.device_put(load_release_params(wpath))
+        print("using release weights", file=sys.stderr)
 
     icfg = InferenceConfig(tile=args.tile, compute_dtype="bfloat16")
-    report = sequence.run_sequence(FLAGSHIP, icfg, params, frames, gts, mode="joint")
-    print(json.dumps(report, indent=2))
+    denoise, grid = pipeline.make_joint_frame_denoiser(FLAGSHIP, icfg, H, W)
+    print(f"grid: {grid}", file=sys.stderr)
+
+    @jax.jit
+    def gen_clean(key):
+        return sj.generate_clean_passes(key, H, W)
+
+    @jax.jit
+    def gen_noisy(key, clean):
+        return sj.add_mc_noise(key, clean, args.spp)
+
+    @jax.jit
+    def run(params, noisy, gt):
+        out = denoise(params, noisy)
+        pred = metrics.tonemap_for_metrics(out["combined"])[None]
+        ref = metrics.tonemap_for_metrics(gt)[None]
+        return (
+            metrics.psnr_per_image(pred, ref)[0],
+            metrics.ssim(pred, ref)[0],
+            metrics.psnr_per_image(metrics.tonemap_for_metrics(noisy["combined"])[None], ref)[0],
+        )
+
+    print("generating 4K scene on device + compiling...", file=sys.stderr)
+    key = jax.random.PRNGKey(0)
+    clean = gen_clean(key)
+    gt = clean["combined"]
+    noisy0 = gen_noisy(jax.random.PRNGKey(100), clean)
+    _ = [float(x) for x in run(params, noisy0, gt)]  # compile + settle
+
+    lat, psnrs, ssims, psnr_noisy = [], [], [], []
+    for i in range(args.frames):
+        noisy = gen_noisy(jax.random.PRNGKey(100 + i), clean)
+        jd = run(params, noisy, gt)  # warm the stream with gen work done
+        _ = float(jd[0])
+        t0 = time.perf_counter()
+        pd, sd, pn = run(params, noisy, gt)
+        pd = float(pd)
+        lat.append(1e3 * (time.perf_counter() - t0))
+        psnrs.append(pd)
+        ssims.append(float(sd))
+        psnr_noisy.append(float(pn))
+
+    print(json.dumps({
+        "resolution": f"{W}x{H}",
+        "spp": args.spp,
+        "n_frames": args.frames,
+        "latency_ms": [round(x, 1) for x in lat],
+        "latency_ms_median": round(float(np.median(lat)), 1),
+        "psnr_noisy_mean": round(float(np.mean(psnr_noisy)), 2),
+        "psnr_mean": round(float(np.mean(psnrs)), 2),
+        "ssim_mean": round(float(np.mean(ssims)), 4),
+    }, indent=2))
     return 0
 
 
