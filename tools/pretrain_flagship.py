@@ -75,6 +75,8 @@ def main() -> int:
 
     key = jax.random.PRNGKey(42 + start)
     t0 = time.time()
+    mgr = CheckpointManager(args.out, keep=1)
+    save_every = max(args.log_every * 10, 10_000)
     for i in range(start + 1, args.steps + 1):
         key, k = jax.random.split(key)
         state, mets = base_step(state, gen(k))
@@ -83,8 +85,9 @@ def main() -> int:
             rate = (i - start) / (time.time() - t0)
             print(f"step {i}/{args.steps} loss={loss:.5f} ({rate:.1f} steps/s)",
                   flush=True)
+        if i % save_every == 0 and i != args.steps:
+            mgr.save(i, state, extra={"model": args.model, "mode": mode})
 
-    mgr = CheckpointManager(args.out, keep=1)
     mgr.save(args.steps, state, extra={"model": args.model, "mode": mode},
              force=True)
     mgr.close()
