@@ -80,7 +80,6 @@ def cmd_denoise(args) -> int:
     from deepdenoiser_tpu import config as config_lib
     from deepdenoiser_tpu.data import exr
     from deepdenoiser_tpu.inference import pipeline
-    from deepdenoiser_tpu.models import factory
     from deepdenoiser_tpu.training import train as train_lib
     from deepdenoiser_tpu.training.checkpoint import CheckpointManager
 

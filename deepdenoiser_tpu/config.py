@@ -10,7 +10,7 @@ from __future__ import annotations
 import dataclasses
 import json
 from pathlib import Path
-from typing import Any, Dict, Optional, Tuple, Type, TypeVar, get_args, get_origin, get_type_hints
+from typing import Any, Dict, Tuple, Type, TypeVar, get_args, get_origin, get_type_hints
 
 from deepdenoiser_tpu.models.factory import ModelConfig
 from deepdenoiser_tpu.ops.losses import LossConfig

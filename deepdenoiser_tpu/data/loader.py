@@ -11,8 +11,7 @@ fused-ingest kernel, ops/fused_ingest.py, can replace it transparently).
 
 from __future__ import annotations
 
-import dataclasses
-from typing import Any, Dict, Iterator, Mapping, Optional, Sequence, Tuple
+from typing import Dict, Iterator, Mapping, Sequence
 
 import grain
 import jax

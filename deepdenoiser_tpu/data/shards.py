@@ -21,7 +21,7 @@ import dataclasses
 import json
 from collections import OrderedDict
 from pathlib import Path
-from typing import Dict, Iterator, List, Mapping, Optional, Sequence, Tuple
+from typing import Dict, List, Mapping, Sequence
 
 import numpy as np
 

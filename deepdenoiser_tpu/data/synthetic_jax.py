@@ -14,7 +14,7 @@ Used by tools/pretrain_flagship.py and the training-throughput bench.
 from __future__ import annotations
 
 import functools
-from typing import Dict, Sequence, Tuple
+from typing import Dict, Sequence
 
 import jax
 import jax.numpy as jnp

@@ -14,8 +14,7 @@ no per-tile dispatch, no host-side recomposition (SURVEY.md §3.3 "rebuild").
 from __future__ import annotations
 
 import dataclasses
-import functools
-from typing import Dict, Mapping, Optional, Sequence, Tuple
+from typing import Dict, Mapping, Sequence
 
 import jax
 import jax.numpy as jnp

@@ -37,8 +37,7 @@ tests/test_tiled.py asserts tiled == whole_frame_reference equality
 from __future__ import annotations
 
 import dataclasses
-import functools
-from typing import Any, Callable, Optional, Tuple
+from typing import Callable, Tuple
 
 import jax
 import jax.numpy as jnp

@@ -6,7 +6,7 @@ architecture configs (upstream: TensorFlow/*.json — SURVEY.md C18).
 from __future__ import annotations
 
 import dataclasses
-from typing import Any, Optional, Tuple
+from typing import Tuple
 
 import jax
 import jax.numpy as jnp

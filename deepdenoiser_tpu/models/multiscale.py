@@ -14,10 +14,9 @@ compiled backbone serve all scales.
 
 from __future__ import annotations
 
-from typing import Any, List
+from typing import List
 
 import jax
-import jax.numpy as jnp
 from flax import linen as nn
 
 from deepdenoiser_tpu.models import layers

@@ -9,7 +9,7 @@ engine pads tiles to satisfy this — static shapes, no dynamic padding).
 from __future__ import annotations
 
 import dataclasses
-from typing import Any, Tuple
+from typing import Any
 
 import jax
 import jax.numpy as jnp

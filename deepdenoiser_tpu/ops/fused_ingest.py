@@ -22,7 +22,6 @@ the pure-JAX path is the reference semantics.
 
 from __future__ import annotations
 
-import functools
 from typing import Tuple
 
 import jax

@@ -20,7 +20,6 @@ Parity vs the XLA path: tests/test_pallas.py (interpret mode on CPU).
 from __future__ import annotations
 
 import functools
-from typing import Tuple
 
 import jax
 import jax.numpy as jnp

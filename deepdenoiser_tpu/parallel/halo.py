@@ -18,12 +18,11 @@ O(halo * W) per step — the classic band-parallel stencil decomposition.
 
 from __future__ import annotations
 
-import functools
 from typing import Callable, Tuple
 
 import jax
 import jax.numpy as jnp
-from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+from jax.sharding import Mesh, PartitionSpec as P
 
 from deepdenoiser_tpu.inference import tiled
 

@@ -14,10 +14,9 @@ from __future__ import annotations
 import dataclasses
 import json
 import signal
-import sys
 import time
 from pathlib import Path
-from typing import Any, Dict, Iterator, Optional
+from typing import Any, Dict, Optional
 
 import jax
 import numpy as np

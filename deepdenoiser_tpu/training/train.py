@@ -13,7 +13,6 @@ The same step function works unsharded on one chip (mesh=None).
 
 from __future__ import annotations
 
-import dataclasses
 import functools
 from typing import Any, Callable, Dict, Optional, Tuple
 
@@ -21,7 +20,7 @@ import jax
 import jax.numpy as jnp
 import optax
 from flax import struct
-from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+from jax.sharding import Mesh, PartitionSpec as P
 
 from deepdenoiser_tpu.config import TrainConfig
 from deepdenoiser_tpu.models import factory

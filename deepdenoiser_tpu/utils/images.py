@@ -4,8 +4,6 @@ C17): tone-mapped LDR previews of HDR radiance for logs and debugging."""
 from __future__ import annotations
 
 from pathlib import Path
-from typing import Optional
-
 import numpy as np
 
 

@@ -19,7 +19,6 @@ from pathlib import Path
 sys.path.insert(0, str(Path(__file__).resolve().parents[1]))
 
 import jax
-import jax.numpy as jnp
 
 from __graft_entry__ import FLAGSHIP
 from deepdenoiser_tpu.config import TrainConfig
