@@ -31,6 +31,8 @@ def main() -> int:
     p.add_argument("--height", type=int, default=2160)
     p.add_argument("--width", type=int, default=3840)
     p.add_argument("--tile", type=int, default=0)
+    p.add_argument("--tile-batch", type=int, default=0,
+                   help="chunk tiles through lax.map to bound HBM (banded mode)")
     p.add_argument("--spp", type=float, default=4.0)
     args = p.parse_args()
 
@@ -50,7 +52,8 @@ def main() -> int:
         params = jax.device_put(load_release_params(wpath))
         print("using release weights", file=sys.stderr)
 
-    icfg = InferenceConfig(tile=args.tile, compute_dtype="bfloat16")
+    icfg = InferenceConfig(tile=args.tile, tile_batch=args.tile_batch,
+                           compute_dtype="bfloat16")
     denoise, grid = pipeline.make_joint_frame_denoiser(FLAGSHIP, icfg, H, W)
     print(f"grid: {grid}", file=sys.stderr)
 
