@@ -182,3 +182,24 @@ def test_joint_encode_decode_identity():
         np.asarray(dec["transmission_indirect"]), clean["transmission_indirect"],
         rtol=1e-3, atol=1e-4,
     )
+
+
+@pytest.mark.parametrize("kw", [
+    dict(stem_stride=2),                      # the flagship's stem
+    dict(n_scales=2, depth=1),                # multi-scale composition
+    dict(stem_stride=2, depth=1, n_scales=2), # both
+])
+def test_tiled_equals_whole_advanced_archs(kw):
+    """Seam-free exactness holds for the architectures that shift RF
+    accounting: space-to-depth stems and multi-scale pyramids."""
+    cfg = tiny_cfg(**kw)
+    model = factory.build_model(cfg)
+    h, w = 72, 56
+    frame = jax.random.normal(jax.random.PRNGKey(7), (h, w, CIN))
+    m = factory.spatial_multiple(cfg)
+    params = model.init(jax.random.PRNGKey(1), jnp.zeros((1, 4 * m, 4 * m, CIN)))
+    apply_fn = lambda t: model.apply(params, t)  # noqa: E731
+    grid = tiled.plan_grid(h, w, tile=32, halo=factory.halo(cfg), multiple=m)
+    got = tiled.make_tiled_apply(apply_fn, grid, cfg.out_channels)(frame)
+    want = tiled.whole_frame_reference(apply_fn, frame, grid)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=2e-5)
