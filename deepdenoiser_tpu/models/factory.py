@@ -44,6 +44,7 @@ class ModelConfig:
     convs_per_level: int = 2
     act: str = "relu"
     stem_stride: int = 1  # 2 = space-to-depth stem (half-res network)
+    remat: bool = False  # jax.checkpoint conv stacks (large-crop training)
     # tiramisu params
     growth_rate: int = 16
     layers_per_block: int = 4
@@ -76,6 +77,7 @@ class DenoiserModel(nn.Module):
                 convs_per_level=cfg.convs_per_level,
                 act=cfg.act,
                 stem_stride=cfg.stem_stride,
+                remat=cfg.remat,
             )
             backbone: nn.Module = UNet(
                 spec, out_ch,
@@ -145,7 +147,7 @@ def _backbone_spec(cfg: ModelConfig):
         return UNetSpec(
             base_width=cfg.base_width, depth=cfg.depth,
             convs_per_level=cfg.convs_per_level, act=cfg.act,
-            stem_stride=cfg.stem_stride,
+            stem_stride=cfg.stem_stride, remat=cfg.remat,
         )
     if cfg.backbone == "tiramisu":
         return TiramisuSpec(

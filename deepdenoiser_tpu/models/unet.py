@@ -34,6 +34,10 @@ class UNetSpec:
     # (pixel-shuffle in/out). Quarter the activation HBM traffic and 4x the
     # stem's MXU input channels — the key latency lever on v5e.
     stem_stride: int = 1
+    # rematerialize conv stacks in the backward pass (jax.checkpoint):
+    # trades ~1/3 more FLOPs for O(depth) less live activation memory —
+    # enables large-crop / full-frame training.
+    remat: bool = False
 
     def width(self, level: int) -> int:
         return min(int(self.base_width * self.width_growth**level), self.max_width)
@@ -93,27 +97,36 @@ class UNet(nn.Module):
         x = x.astype(self.dtype)
         if spec.stem_stride == 2:
             x = layers.space_to_depth(x, 2)
+        # Explicit names keep the param tree IDENTICAL with remat on or off
+        # (nn.remat would otherwise rename scopes to remat(Checkpoint...)),
+        # so checkpoints transfer freely between memory modes.
+        StackCls = nn.remat(layers.ConvStack) if spec.remat else layers.ConvStack
+        stack_idx = 0
+
+        def stack(t, width):
+            nonlocal stack_idx
+            t = StackCls(
+                width, spec.convs_per_level, spec.kernel, spec.act, **kw,
+                name=f"ConvStack_{stack_idx}",
+            )(t)
+            stack_idx += 1
+            return t
+
         # Stem
-        x = layers.ConvStack(
-            spec.width(0), spec.convs_per_level, spec.kernel, spec.act, **kw
-        )(x)
+        x = stack(x, spec.width(0))
 
         # Encoder
         skips = []
         for level in range(1, spec.depth + 1):
             skips.append(x)
             x = layers.DownSample(spec.width(level), spec.kernel, spec.act, **kw)(x)
-            x = layers.ConvStack(
-                spec.width(level), spec.convs_per_level, spec.kernel, spec.act, **kw
-            )(x)
+            x = stack(x, spec.width(level))
 
         # Decoder
         for level in range(spec.depth - 1, -1, -1):
             x = layers.UpSample(spec.width(level), spec.kernel, spec.act, **kw)(x)
             x = jnp.concatenate([x, skips[level]], axis=-1)
-            x = layers.ConvStack(
-                spec.width(level), spec.convs_per_level, spec.kernel, spec.act, **kw
-            )(x)
+            x = stack(x, spec.width(level))
 
         # Linear head, fp32 output for stable losses/inverse-transforms
         head_ch = self.out_channels * (spec.stem_stride**2)

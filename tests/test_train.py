@@ -154,3 +154,26 @@ def test_nan_inputs_surface_in_metrics():
     batch["x"] = batch["x"].at[0, 0, 0, 0].set(jnp.nan)
     _, mets = step(state, batch)
     assert not np.isfinite(float(mets["loss"]))
+
+
+def test_remat_training_matches_plain():
+    """jax.checkpoint'd conv stacks change memory, not math: identical param
+    trees (checkpoints transfer between memory modes) and identical step
+    results."""
+    import jax.tree_util as jtu
+
+    outs = {}
+    trees = {}
+    for remat in (False, True):
+        mcfg = ModelConfig(backbone="unet", in_channels=8, out_channels=6,
+                           base_width=8, depth=1, convs_per_level=1, remat=remat)
+        tcfg = TrainConfig(steps=10, warmup_steps=0, schedule="constant")
+        state = T.create_state(mcfg, tcfg, jax.random.PRNGKey(0), spatial=16)
+        trees[remat] = sorted(
+            jtu.keystr(k) for k, _ in jtu.tree_leaves_with_path(state.params)
+        )
+        _, mets = T.make_train_step(mcfg, tcfg, None)(state, fixed_batch(n=2))
+        outs[remat] = (float(mets["loss"]), float(mets["grad_norm"]))
+    assert trees[False] == trees[True]
+    assert abs(outs[False][0] - outs[True][0]) < 1e-6
+    assert abs(outs[False][1] - outs[True][1]) < 1e-5
