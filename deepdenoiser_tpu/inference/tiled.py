@@ -190,6 +190,49 @@ def make_tiled_apply(
             return outs
         return apply_fn(tiles)
 
+    if batch_dims == 0 and tile_batch and tile_batch < grid.n_tiles:
+        # HBM-bounded mode: tiles are sliced from the padded plane INSIDE
+        # the lax.map body (never all materialized at once), and each
+        # chunk's output is core-cropped immediately. Peak live memory is
+        # plane + one chunk of net tiles + the core outputs — this is the
+        # path for frames whose full tile set exceeds HBM (e.g. 4K).
+        def f_lazy(frame: Array) -> Array:
+            c = frame.shape[-1]
+            padded = pad_plane(frame, grid)
+            n = grid.n_tiles
+            nchunks = -(-n // tile_batch)
+            idx = jnp.arange(nchunks * tile_batch, dtype=jnp.int32) % n
+            sy = (idx // grid.cols) * grid.tile_h
+            sx = (idx % grid.cols) * grid.tile_w
+            starts = (
+                sy.reshape(nchunks, tile_batch), sx.reshape(nchunks, tile_batch)
+            )
+
+            def chunk_fn(se):
+                cy, cx = se
+
+                def take(y0, x0):
+                    return jax.lax.dynamic_slice(
+                        padded, (y0, x0, 0), (grid.net_h, grid.net_w, c)
+                    )
+
+                tiles = jax.vmap(take)(cy, cx)
+                out = apply_fn(tiles)
+                hp = grid.halo
+                return out[:, hp : hp + grid.tile_h, hp : hp + grid.tile_w, :]
+
+            cores = jax.lax.map(chunk_fn, starts)
+            cores = cores.reshape(nchunks * tile_batch, grid.tile_h,
+                                  grid.tile_w, out_channels)[:n]
+            full = cores.reshape(grid.rows, grid.cols, grid.tile_h,
+                                 grid.tile_w, out_channels)
+            full = full.transpose(0, 2, 1, 3, 4).reshape(
+                grid.rows * grid.tile_h, grid.cols * grid.tile_w, out_channels
+            )
+            return full[: grid.height, : grid.width, :]
+
+        return f_lazy
+
     if batch_dims == 0:
 
         def f(frame: Array) -> Array:
