@@ -198,12 +198,18 @@ def make_tiled_apply(
         # path for frames whose full tile set exceeds HBM (e.g. 4K).
         def f_lazy(frame: Array) -> Array:
             c = frame.shape[-1]
+            # Flatten to (H, W*C): TPU tiled layouts pad the minor dim to
+            # 128 lanes, which blows a 41-channel 4K plane up 3x; with W*C
+            # minor the padding is negligible. Channel-minor row-major means
+            # an x-slice of w tiles is a contiguous lane slice of w*c.
             padded = pad_plane(frame, grid)
+            ph, pw = padded.shape[0], padded.shape[1]
+            plane2d = padded.reshape(ph, pw * c)
             n = grid.n_tiles
             nchunks = -(-n // tile_batch)
             idx = jnp.arange(nchunks * tile_batch, dtype=jnp.int32) % n
             sy = (idx // grid.cols) * grid.tile_h
-            sx = (idx % grid.cols) * grid.tile_w
+            sx = (idx % grid.cols) * grid.tile_w * c
             starts = (
                 sy.reshape(nchunks, tile_batch), sx.reshape(nchunks, tile_batch)
             )
@@ -212,9 +218,10 @@ def make_tiled_apply(
                 cy, cx = se
 
                 def take(y0, x0):
-                    return jax.lax.dynamic_slice(
-                        padded, (y0, x0, 0), (grid.net_h, grid.net_w, c)
+                    t = jax.lax.dynamic_slice(
+                        plane2d, (y0, x0), (grid.net_h, grid.net_w * c)
                     )
+                    return t.reshape(grid.net_h, grid.net_w, c)
 
                 tiles = jax.vmap(take)(cy, cx)
                 out = apply_fn(tiles)

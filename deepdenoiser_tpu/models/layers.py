@@ -22,6 +22,7 @@ from typing import Any, Callable, Optional
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 from flax import linen as nn
 
 Array = jax.Array
@@ -222,22 +223,63 @@ def avg_downsample(x: Array, factor: int = 2) -> Array:
     return x.mean(axis=(2, 4))
 
 
-def space_to_depth(x: Array, factor: int = 2) -> Array:
-    """(N, H, W, C) -> (N, H/f, W/f, C*f*f). Moves resolution into channels
-    so the whole network runs at reduced spatial size: 1/f² the activation
-    HBM traffic and f²·C input channels feeding the MXU instead of C."""
+def _s2d_reshape(x: Array, factor: int) -> Array:
     n, h, w, c = x.shape
-    assert h % factor == 0 and w % factor == 0, (h, w, factor)
     x = x.reshape(n, h // factor, factor, w // factor, factor, c)
     x = x.transpose(0, 1, 3, 2, 4, 5)
     return x.reshape(n, h // factor, w // factor, factor * factor * c)
 
 
-def depth_to_space(x: Array, factor: int = 2) -> Array:
-    """Inverse of space_to_depth (pixel shuffle)."""
+def _d2s_reshape(x: Array, factor: int) -> Array:
     n, h, w, c = x.shape
-    assert c % (factor * factor) == 0
     co = c // (factor * factor)
     x = x.reshape(n, h, w, factor, factor, co)
     x = x.transpose(0, 1, 3, 2, 4, 5)
     return x.reshape(n, h * factor, w * factor, co)
+
+
+def space_to_depth(x: Array, factor: int = 2, use_conv: bool = True) -> Array:
+    """(N, H, W, C) -> (N, H/f, W/f, C*f*f). Moves resolution into channels
+    so the whole network runs at reduced spatial size: 1/f² the activation
+    HBM traffic and f²·C input channels feeding the MXU instead of C.
+
+    Implemented as a one-hot strided conv by default: the naive
+    reshape→transpose→reshape materializes a 6D intermediate whose TPU
+    tiled layout pads the tiny minor dims up to 5x (measured in HLO dumps);
+    the conv form stays in well-tiled NHWC throughout and is numerically
+    exact (one-hot weights)."""
+    n, h, w, c = x.shape
+    assert h % factor == 0 and w % factor == 0, (h, w, factor)
+    if not use_conv:
+        return _s2d_reshape(x, factor)
+    f = factor
+    k = np.zeros((f, f, c, f * f * c), dtype=np.float32)
+    for dy in range(f):
+        for dx in range(f):
+            for ch in range(c):
+                k[dy, dx, ch, (dy * f + dx) * c + ch] = 1.0
+    return jax.lax.conv_general_dilated(
+        x, jnp.asarray(k, x.dtype), window_strides=(f, f), padding="VALID",
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+    )
+
+
+def depth_to_space(x: Array, factor: int = 2, use_conv: bool = True) -> Array:
+    """Inverse of space_to_depth (pixel shuffle); one-hot transposed conv
+    by default (same layout rationale as space_to_depth)."""
+    n, h, w, c = x.shape
+    assert c % (factor * factor) == 0
+    if not use_conv:
+        return _d2s_reshape(x, factor)
+    f = factor
+    co = c // (f * f)
+    k = np.zeros((f, f, c, co), dtype=np.float32)
+    for dy in range(f):
+        for dx in range(f):
+            for o in range(co):
+                # conv_transpose applies the kernel spatially flipped
+                k[f - 1 - dy, f - 1 - dx, (dy * f + dx) * co + o, o] = 1.0
+    return jax.lax.conv_transpose(
+        x, jnp.asarray(k, x.dtype), strides=(f, f), padding="VALID",
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+    )

@@ -220,3 +220,19 @@ def test_signal_indices_joint_layout():
     assert len(idx) == 24
     assert idx[:6] == (0, 1, 2, 3, 4, 5)
     assert idx[6:12] == (9, 10, 11, 12, 13, 14)
+
+
+def test_s2d_d2s_conv_matches_reshape():
+    """One-hot-conv pixel shuffles == reshape reference, both directions,
+    and they invert each other."""
+    rng = np.random.default_rng(9)
+    x = jnp.asarray(rng.standard_normal((2, 8, 12, 5)).astype(np.float32))
+    a = layers.space_to_depth(x, 2, use_conv=True)
+    b = layers.space_to_depth(x, 2, use_conv=False)
+    np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    y = jnp.asarray(rng.standard_normal((2, 4, 6, 20)).astype(np.float32))
+    a2 = layers.depth_to_space(y, 2, use_conv=True)
+    b2 = layers.depth_to_space(y, 2, use_conv=False)
+    np.testing.assert_array_equal(np.asarray(a2), np.asarray(b2))
+    back = layers.depth_to_space(layers.space_to_depth(x, 2), 2)
+    np.testing.assert_array_equal(np.asarray(back), np.asarray(x))
