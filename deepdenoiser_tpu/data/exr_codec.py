@@ -135,6 +135,36 @@ def _rle_decompress(data: bytes, expected: int) -> bytes:
     return bytes(_zip_unpredict_and_merge(bytes(out)))
 
 
+def _rle_compress(raw: bytes) -> bytes:
+    """OpenEXR RLE: runs >= 3 as (runlen-1, byte); literals as (-n, bytes),
+    both capped at 127. Applied AFTER the split+predict preprocessing."""
+    data = _zip_split_and_predict(raw)
+    out = bytearray()
+    i, n = 0, len(data)
+    lit_start = i
+    def flush_literals(end):
+        s = lit_start
+        while s < end:
+            chunk = min(127, end - s)
+            out.append((256 - chunk) & 0xFF)  # signed -chunk
+            out.extend(data[s : s + chunk])
+            s += chunk
+    while i < n:
+        run = 1
+        while i + run < n and run < 128 and data[i + run] == data[i]:
+            run += 1
+        if run >= 3:
+            flush_literals(i)
+            out.append(run - 1)
+            out.append(data[i])
+            i += run
+            lit_start = i
+        else:
+            i += run
+    flush_literals(i)
+    return bytes(out)
+
+
 class ExrImage:
     """Decoded single-part scanline EXR: channel name -> 2D array."""
 
@@ -266,9 +296,10 @@ def encode(
     if not channels:
         raise ValueError("no channels")
     pt = {"float": _PT_FLOAT, "half": _PT_HALF, "uint": _PT_UINT}[pixel_type]
-    comp = {"none": _EXR_COMP_NO, "zip": _EXR_COMP_ZIP, "zips": _EXR_COMP_ZIPS}[
-        compression
-    ]
+    comp = {
+        "none": _EXR_COMP_NO, "zip": _EXR_COMP_ZIP, "zips": _EXR_COMP_ZIPS,
+        "rle": _EXR_COMP_RLE,
+    }[compression]
     lines_per_block = 16 if comp == _EXR_COMP_ZIP else 1
 
     names = sorted(channels)
@@ -310,6 +341,9 @@ def encode(
         raw = b"".join(rows)
         if comp == _EXR_COMP_NO:
             packed = raw
+        elif comp == _EXR_COMP_RLE:
+            r = _rle_compress(raw)
+            packed = r if len(r) < len(raw) else raw
         else:
             z = zlib.compress(_zip_split_and_predict(raw), 6)
             packed = z if len(z) < len(raw) else raw

@@ -120,3 +120,25 @@ def test_native_parity():
         dec_np = exr_codec._zip_unpredict_and_merge_np(enc_np)
         dec_c = _native.unpredict_and_merge(enc_np)
         assert dec_c == dec_np == data, n
+
+
+def test_rle_roundtrip(tmp_path):
+    """RLE compression (the third OpenEXR codec Blender emits) round-trips,
+    including constant regions (long runs) and noise (literal runs)."""
+    rng = np.random.default_rng(11)
+    img = np.zeros((24, 40), np.float32)
+    img[4:12, 8:30] = 1.5  # constant block -> runs
+    img[16:] = rng.standard_normal((8, 40)).astype(np.float32)  # literals
+    p = tmp_path / "r.exr"
+    exr_codec.write(p, {"Y": img}, compression="rle")
+    out = exr_codec.read(p)
+    np.testing.assert_array_equal(out.channels["Y"], img)
+
+
+def test_rle_compress_decompress_unit():
+    rng = np.random.default_rng(12)
+    for data in (b"\x00" * 500, bytes(rng.integers(0, 4, 999, dtype=np.uint8)),
+                 b"a", b"abc" * 200):
+        enc = exr_codec._rle_compress(data)
+        dec = exr_codec._rle_decompress(enc, len(data))
+        assert dec == data
