@@ -102,12 +102,21 @@ def cmd_denoise(args) -> int:
     mgr.close()
 
     mode = args.mode or cfg.data.mode
+    scales = dict(cfg.data.pass_scales) or None  # stats-driven norm (C7→C4)
     if mode == "group":
-        denoise, _ = pipeline.make_group_frame_denoiser(mcfg, cfg.infer, h, w)
+        denoise, _ = pipeline.make_group_frame_denoiser(
+            mcfg, cfg.infer, h, w, scales=scales
+        )
     elif mode == "joint":
-        denoise, _ = pipeline.make_joint_frame_denoiser(mcfg, cfg.infer, h, w)
+        denoise, _ = pipeline.make_joint_frame_denoiser(
+            mcfg, cfg.infer, h, w,
+            groups=tuple(cfg.data.groups), use_flags=cfg.data.use_flags,
+            scales=scales,
+        )
     else:
-        denoise, _ = pipeline.make_rgb_frame_denoiser(mcfg, cfg.infer, h, w)
+        denoise, _ = pipeline.make_rgb_frame_denoiser(
+            mcfg, cfg.infer, h, w, scales=scales
+        )
     out = denoise(params, {k: jnp.asarray(v) for k, v in frame.items()})
     out_np = {k: np.asarray(v) for k, v in out.items()}
 
@@ -140,7 +149,8 @@ def cmd_eval(args) -> int:
     mgr.close()
 
     report = sequence.evaluate_render_root(
-        cfg.model, cfg.infer, params, args.renders, mode=cfg.data.mode
+        cfg.model, cfg.infer, params, args.renders, mode=cfg.data.mode,
+        scales=dict(cfg.data.pass_scales) or None,
     )
     print(json.dumps(report, indent=2))
     return 0
@@ -153,8 +163,9 @@ def build_parser() -> argparse.ArgumentParser:
 
     def common(sp):
         sp.add_argument("--config", help="experiment config JSON")
-        sp.add_argument("--preset", choices=["flagship", "unet-small",
-                                             "unet-multiscale", "tiramisu", "kpn"])
+        sp.add_argument("--preset", choices=["flagship", "flagship-flags",
+                                             "unet-small", "unet-multiscale",
+                                             "tiramisu", "kpn"])
 
     sp = sub.add_parser("prepare-data", help="EXR render root -> training shards")
     common(sp)

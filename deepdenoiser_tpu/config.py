@@ -30,6 +30,21 @@ class DataConfig:
     groups: Tuple[str, ...] = LIGHT_GROUPS
     mode: str = "group"  # 'group' (per-group) | 'joint' (all groups, one pass) | 'rgb'
     group: str = "diffuse"  # which group a 'group'-mode model trains on
+    # Feature-flag conditioning (upstream: FeatureFlags.py — SURVEY.md C3):
+    # scenes may lack some light groups. With use_flags, prepare-data
+    # zero-fills the missing passes and stores a per-example presence
+    # vector; the encoder appends one constant flag plane per group to the
+    # network input and masks the missing groups' channels out of the loss,
+    # so one joint-mode network trains across heterogeneous pass sets.
+    use_flags: bool = False
+    # Statistics-driven normalization (upstream: DataStatistics.py feeding
+    # FeatureEngineering — SURVEY.md C7→C4). stats_normalize derives
+    # pass_scales from the shard meta's corpus statistics at training time
+    # (depth → 1/mean_depth, making depth normalization scene-scale
+    # invariant); the concrete scales are frozen into the saved config /
+    # checkpoint so inference encodes identically to training.
+    stats_normalize: bool = False
+    pass_scales: Tuple[Tuple[str, float], ...] = ()
     augment: bool = True
     shuffle_buffer: int = 2048
     validation_fraction: float = 0.1
@@ -133,6 +148,19 @@ PRESETS: Dict[str, ExperimentConfig] = {
             act="leaky_relu",
         ),
         data=DataConfig(mode="joint"),
+        train=TrainConfig(ema_decay=0.999),
+    ),
+    # Flagship trained across heterogeneous pass sets: per-example group
+    # flags as input planes + loss masks (SURVEY.md C3). Use for corpora
+    # where some scenes lack light groups (e.g. no subsurface).
+    "flagship-flags": ExperimentConfig(
+        name="flagship-flags",
+        model=ModelConfig(
+            backbone="unet", base_width=96, depth=3, convs_per_level=2,
+            stem_stride=2, compute_dtype="bfloat16", predict_residual=True,
+            act="leaky_relu",
+        ),
+        data=DataConfig(mode="joint", use_flags=True),
         train=TrainConfig(ema_decay=0.999),
     ),
     "unet-small": ExperimentConfig(

@@ -26,8 +26,12 @@ def apply_d4(arr: np.ndarray, k: int, flip: bool, is_normal: bool) -> np.ndarray
     """Apply rot90^k then optional horizontal flip to an HWC array.
 
     For normal passes the (x, y) vector components are transformed with the
-    same isometry: rot90 (CCW, image coords) maps (x, y) -> (y, -x); an
-    horizontal flip negates x.
+    same isometry. The normal pass stores Cycles camera-space normals, whose
+    y component is Y-UP (passes.NORMAL_Y_UP) while numpy rows grow downward:
+    np.rot90 (CCW in array axes) therefore maps a y-up vector
+    (x, y) -> (-y, x); a horizontal flip negates x either way. Asserted
+    geometrically (normals of a rotated height field) in
+    tests/test_pipeline_data.py::test_augment_normal_geometry_consistent.
     """
     out = arr
     for _ in range(k % 4):
@@ -35,7 +39,10 @@ def apply_d4(arr: np.ndarray, k: int, flip: bool, is_normal: bool) -> np.ndarray
         if is_normal:
             x, y = out[..., 0].copy(), out[..., 1].copy()
             out = out.copy()
-            out[..., 0], out[..., 1] = y, -x
+            if passes.NORMAL_Y_UP:
+                out[..., 0], out[..., 1] = -y, x
+            else:
+                out[..., 0], out[..., 1] = y, -x
     if flip:
         out = out[:, ::-1]
         if is_normal:
@@ -51,6 +58,9 @@ def augment_example(
     k, flip = d4_params(rng)
     out = {}
     for key, arr in example.items():
+        if "/" not in key:  # non-spatial metadata (e.g. 'flags') passes through
+            out[key] = arr
+            continue
         pass_name = key.split("/")[1]
         is_normal = passes.get(pass_name).kind is passes.PassKind.NORMAL
         out[key] = apply_d4(arr, k, flip, is_normal)

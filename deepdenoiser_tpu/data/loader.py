@@ -97,6 +97,7 @@ def make_batch_encoder(cfg: DataConfig, aux: Sequence[str] = passes.AUX_PASSES):
     rgb mode: x = encoded noisy combined + albedo + aux; y = log combined.
     """
     aux = tuple(aux)
+    scales = dict(cfg.pass_scales) or None
 
     if cfg.mode == "group":
         group = cfg.group
@@ -105,7 +106,7 @@ def make_batch_encoder(cfg: DataConfig, aux: Sequence[str] = passes.AUX_PASSES):
         def encode(batch: Mapping[str, Array]) -> Dict[str, Array]:
             src = {name: _src(batch, name) for name in
                    list(passes.group_passes(group)) + list(aux)}
-            x = transforms.encode_group_inputs(src, group, aux)
+            x = transforms.encode_group_inputs(src, group, aux, scales=scales)
             albedo = src[c_name]
             y = jnp.concatenate(
                 [
@@ -128,7 +129,7 @@ def make_batch_encoder(cfg: DataConfig, aux: Sequence[str] = passes.AUX_PASSES):
         def encode_joint(batch: Mapping[str, Array]) -> Dict[str, Array]:
             names = [n for g in groups for n in passes.group_passes(g)] + list(aux)
             src = {name: _src(batch, name) for name in names}
-            x = transforms.encode_joint_inputs(src, groups, aux)
+            x = transforms.encode_joint_inputs(src, groups, aux, scales=scales)
             ys = []
             for g in groups:
                 d_name, i_name, c_name = passes.group_passes(g)
@@ -137,7 +138,20 @@ def make_batch_encoder(cfg: DataConfig, aux: Sequence[str] = passes.AUX_PASSES):
                     d_name, transforms.demodulate(_tgt(batch, d_name), albedo)))
                 ys.append(transforms.normalize(
                     i_name, transforms.demodulate(_tgt(batch, i_name), albedo)))
-            return {"x": x, "y": jnp.concatenate(ys, axis=-1)}
+            out = {"x": x, "y": jnp.concatenate(ys, axis=-1)}
+            if cfg.use_flags:
+                # Feature-flag conditioning (SURVEY.md C3): one constant
+                # plane per group tells the network which groups are real;
+                # the loss mask zeroes the 6 output channels of each
+                # missing group so zero-filled passes teach nothing.
+                flags = batch[shards.FLAGS_KEY].astype(jnp.float32)  # (N, G)
+                n, h, w = x.shape[0], x.shape[1], x.shape[2]
+                planes = jnp.broadcast_to(
+                    flags[:, None, None, :], (n, h, w, flags.shape[-1])
+                )
+                out["x"] = jnp.concatenate([x, planes], axis=-1)
+                out["mask"] = jnp.repeat(flags, 6, axis=-1)[:, None, None, :]
+            return out
 
         return encode_joint
 
@@ -147,7 +161,7 @@ def make_batch_encoder(cfg: DataConfig, aux: Sequence[str] = passes.AUX_PASSES):
             src = {name: _src(batch, name) for name in
                    ["combined", "diffuse_color"] + list(aux)}
             x = transforms.encode_rgb_inputs(
-                src, aux=tuple(a for a in aux if a != "alpha")
+                src, aux=tuple(a for a in aux if a != "alpha"), scales=scales
             )
             y = transforms.normalize("combined", _tgt(batch, "combined"))
             return {"x": x, "y": y}
@@ -157,11 +171,82 @@ def make_batch_encoder(cfg: DataConfig, aux: Sequence[str] = passes.AUX_PASSES):
     raise ValueError(f"unknown data mode {cfg.mode!r}")
 
 
+def derive_pass_scales(meta: shards.ShardMeta) -> tuple:
+    """Statistics-driven normalization scales from the corpus stats the
+    dataset builder persisted in meta.json (SURVEY.md C7→C4): depth is
+    pre-scaled by 1/mean so log1p(depth * scale) is scene-scale invariant.
+    Bounded passes (color/normal/alpha) need no scaling. Returns the
+    DataConfig.pass_scales tuple, frozen into the saved config so
+    inference encodes identically to training."""
+    out = []
+    depth_stats = meta.stats.get("depth")
+    if depth_stats and depth_stats.get("mean", 0.0) > 0.0:
+        out.append(("depth", 1.0 / float(depth_stats["mean"])))
+    return tuple(out)
+
+
+def make_eval_decoder(cfg: DataConfig):
+    """Returns decode(raw_batch, pred) -> (pred_rgb, ref_rgb, noisy_rgb) in
+    the raw radiance domain (NHWC), mirroring the inference pipeline's
+    decode + recompose (inference/pipeline.py) so training-eval tonemapped
+    PSNR/SSIM are comparable with the inference-side numbers (upstream
+    analogue: the estimator's eval metrics + image summaries — SURVEY.md §5).
+    """
+    if cfg.mode == "joint":
+        groups = tuple(cfg.groups)
+
+        def decode_joint(batch: Mapping[str, Array], pred: Array):
+            src = {
+                n: _src(batch, n) for g in groups for n in passes.group_passes(g)
+            }
+            out = dict(transforms.decode_joint_outputs(pred, src, groups))
+            for g in groups:
+                c_name = passes.group_passes(g)[2]
+                out[c_name] = src[c_name]
+            for extra in passes.COMPOSITE_EXTRA:
+                key = f"{shards.SOURCE_PREFIX}/{extra}"
+                if key in batch:
+                    out[extra] = batch[key]  # noisy pass-through, as inference
+            pred_rgb = transforms.recompose(out, groups)
+            return pred_rgb, _tgt(batch, "combined"), _src(batch, "combined")
+
+        return decode_joint
+
+    if cfg.mode == "group":
+        d_name, i_name, c_name = passes.group_passes(cfg.group)
+
+        def decode_group(batch: Mapping[str, Array], pred: Array):
+            albedo = _src(batch, c_name)
+            dec = transforms.decode_group_outputs(pred, albedo)
+            pred_rgb = albedo * (dec["direct"] + dec["indirect"])
+            ref_rgb = _tgt(batch, c_name) * (_tgt(batch, d_name) + _tgt(batch, i_name))
+            noisy_rgb = albedo * (_src(batch, d_name) + _src(batch, i_name))
+            return pred_rgb, ref_rgb, noisy_rgb
+
+        return decode_group
+
+    if cfg.mode == "rgb":
+
+        def decode_rgb(batch: Mapping[str, Array], pred: Array):
+            return (
+                transforms.decode_rgb_outputs(pred),
+                _tgt(batch, "combined"),
+                _src(batch, "combined"),
+            )
+
+        return decode_rgb
+
+    raise ValueError(f"unknown data mode {cfg.mode!r}")
+
+
 def input_channels(cfg: DataConfig, aux: Sequence[str] = passes.AUX_PASSES) -> int:
+    if cfg.use_flags and cfg.mode != "joint":
+        raise ValueError("use_flags requires mode='joint'")
     if cfg.mode == "group":
         return transforms.group_input_channels(tuple(aux))
     if cfg.mode == "joint":
-        return transforms.joint_input_channels(tuple(cfg.groups), tuple(aux))
+        n = transforms.joint_input_channels(tuple(cfg.groups), tuple(aux))
+        return n + (len(cfg.groups) if cfg.use_flags else 0)
     return transforms.rgb_input_channels(tuple(a for a in aux if a != "alpha"))
 
 

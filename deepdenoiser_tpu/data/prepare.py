@@ -99,7 +99,24 @@ def prepare_dataset(
             if _is_validation(frame_dir.name, cfg.validation_fraction)
             else "train"
         )
-        gt = exr.load_frame_dir(frame_dir / GT_DIR, wanted=tgt_passes + list(passes.AUX_PASSES))
+        gt = exr.load_frame_dir(
+            frame_dir / GT_DIR,
+            wanted=tgt_passes + list(passes.AUX_PASSES),
+            strict=not cfg.use_flags,
+        )
+        # Feature flags (SURVEY.md C3): a scene may lack some light groups
+        # entirely (e.g. no subsurface). With use_flags the missing passes
+        # are zero-filled (contributing 0 to recomposition) and a presence
+        # vector over cfg.groups is stored per example, which the encoder
+        # turns into input flag planes + loss masks.
+        flags = None
+        if cfg.use_flags:
+            present = [
+                all(p in gt for p in passes.group_passes(g)) for g in cfg.groups
+            ]
+            flags = [1.0 if b else 0.0 for b in present]
+            h0, w0 = next(iter(gt.values())).shape[:2]
+            _zero_fill(gt, tgt_passes, h0, w0)
         variants = sorted(
             p for p in frame_dir.iterdir() if p.is_dir() and p.name != GT_DIR
         )
@@ -111,13 +128,25 @@ def prepare_dataset(
         positions = _crop_positions(rng, h, w, cfg.crop, cfg.crops_per_frame)
 
         for variant in variants:
-            noisy = exr.load_frame_dir(variant, wanted=src_passes)
+            noisy = exr.load_frame_dir(
+                variant, wanted=src_passes, strict=not cfg.use_flags
+            )
+            if cfg.use_flags:
+                _zero_fill(noisy, src_passes, h, w)
             for y, x in positions:
                 writers[split].add(
-                    _crop(noisy, y, x, cfg.crop), _crop(gt, y, x, cfg.crop)
+                    _crop(noisy, y, x, cfg.crop), _crop(gt, y, x, cfg.crop), flags
                 )
 
     return {split: w.finalize() for split, w in writers.items()}
+
+
+def _zero_fill(
+    pass_dict: Dict[str, np.ndarray], wanted: Sequence[str], h: int, w: int
+) -> None:
+    for name in wanted:
+        if name not in pass_dict:
+            pass_dict[name] = np.zeros((h, w, passes.channels(name)), np.float32)
 
 
 def generate_synthetic_render_root(

@@ -21,7 +21,7 @@ import dataclasses
 import json
 from collections import OrderedDict
 from pathlib import Path
-from typing import Dict, List, Mapping, Sequence
+from typing import Dict, List, Mapping, Optional, Sequence
 
 import numpy as np
 
@@ -29,6 +29,7 @@ from deepdenoiser_tpu import passes
 
 SOURCE_PREFIX = "source"
 TARGET_PREFIX = "target"
+FLAGS_KEY = "flags"  # per-example group-presence vector (SURVEY.md C3)
 FORMAT_VERSION = 1
 
 # Bounded-range passes stored half-precision on disk.
@@ -47,6 +48,9 @@ class ShardMeta:
     shard_sizes: List[int]
     stats: Dict[str, Dict[str, float]]
     version: int = FORMAT_VERSION
+    # >0: every example carries a FLAGS_KEY presence vector of this length
+    # (one bit per configured light group, in DataConfig.groups order).
+    flags_dim: int = 0
 
     @property
     def n_examples(self) -> int:
@@ -87,8 +91,14 @@ class ShardWriter:
         self._buf: List[Dict[str, np.ndarray]] = []
         self._sizes: List[int] = []
         self._stats = _StatsAccumulator()
+        self._flags_dim: Optional[int] = None
 
-    def add(self, source: Mapping[str, np.ndarray], target: Mapping[str, np.ndarray]):
+    def add(
+        self,
+        source: Mapping[str, np.ndarray],
+        target: Mapping[str, np.ndarray],
+        flags: Optional[Sequence[float]] = None,
+    ):
         ex: Dict[str, np.ndarray] = {}
         for p in self.source_passes:
             a = np.asarray(source[p])
@@ -98,6 +108,15 @@ class ShardWriter:
             a = np.asarray(target[p])
             assert a.shape == (self.crop, self.crop, passes.channels(p)), (p, a.shape)
             ex[f"{TARGET_PREFIX}/{p}"] = a
+        if flags is not None:
+            f = np.asarray(flags, np.float32)
+            assert f.ndim == 1
+            if self._flags_dim is None:
+                self._flags_dim = f.shape[0]
+            assert f.shape[0] == self._flags_dim, (f.shape, self._flags_dim)
+            ex[FLAGS_KEY] = f
+        else:
+            assert self._flags_dim is None, "flags must be given for every example"
         self._stats.update(target)
         self._buf.append(ex)
         if len(self._buf) >= self.examples_per_shard:
@@ -108,6 +127,9 @@ class ShardWriter:
             return
         stacked = {}
         for key in self._buf[0]:
+            if key == FLAGS_KEY:
+                stacked[key] = np.stack([e[key] for e in self._buf]).astype(np.float32)
+                continue
             pass_name = key.split("/")[1]
             stacked[key] = np.stack([e[key] for e in self._buf]).astype(
                 _disk_dtype(pass_name)
@@ -124,6 +146,7 @@ class ShardWriter:
             target_passes=self.target_passes,
             shard_sizes=self._sizes,
             stats=self._stats.result(),
+            flags_dim=self._flags_dim or 0,
         )
         (self.root / "meta.json").write_text(meta.to_json())
         return meta

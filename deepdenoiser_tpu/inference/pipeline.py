@@ -55,6 +55,7 @@ def make_group_frame_denoiser(
     groups: Sequence[str] = passes.LIGHT_GROUPS,
     aux: Sequence[str] = passes.AUX_PASSES,
     mesh=None,
+    scales=None,
 ):
     """Jitted fn: params, {pass_name: (H,W,C)} -> outputs dict.
 
@@ -91,8 +92,20 @@ def make_group_frame_denoiser(
                 apply_fn, grid, transforms.GROUP_OUTPUT_CHANNELS,
                 tile_batch=infer_cfg.tile_batch, batch_dims=1,
             )
-        # Encode all groups, stack along a leading batch axis.
-        enc = jnp.stack([encode_group(pass_dict, g, aux) for g in groups], 0)
+        # Encode all groups, stack along a leading batch axis. (With
+        # stats-driven scales the pure-JAX encoder is used even when
+        # use_pallas_ingest is set — the Pallas kernels bake the unscaled
+        # transforms; XLA fuses the scaled path equally well.)
+        if scales:
+            enc = jnp.stack(
+                [
+                    transforms.encode_group_inputs(pass_dict, g, aux, scales=scales)
+                    for g in groups
+                ],
+                0,
+            )
+        else:
+            enc = jnp.stack([encode_group(pass_dict, g, aux) for g in groups], 0)
         dec = frame_fn(enc)  # (G, H, W, 6) log-demod direct+indirect
 
         out: Dict[str, Array] = {}
@@ -119,10 +132,18 @@ def make_joint_frame_denoiser(
     groups: Sequence[str] = passes.LIGHT_GROUPS,
     aux: Sequence[str] = passes.AUX_PASSES,
     mesh=None,
+    use_flags: bool = False,
+    scales=None,
 ):
     """Joint-group mode: all light groups denoised in ONE network pass
     (channels-stacked — see transforms.encode_joint_inputs). Same output
-    contract as make_group_frame_denoiser."""
+    contract as make_group_frame_denoiser.
+
+    use_flags (SURVEY.md C3): for flag-conditioned models, groups absent
+    from the input pass_dict are zero-filled, their presence bits appended
+    as constant flag planes, and their (meaningless) outputs dropped from
+    the recomposition — a frame lacking e.g. subsurface denoises normally.
+    """
     grid = plan_for(model_cfg, infer_cfg, height, width)
     groups = tuple(groups)
     aux = tuple(aux)
@@ -132,30 +153,50 @@ def make_joint_frame_denoiser(
     @jax.jit
     def denoise(params, pass_dict: Mapping[str, Array]) -> Dict[str, Array]:
         apply_fn = _make_apply(model_cfg, params, infer_cfg.compute_dtype)
+        pd = dict(pass_dict)
+        present = groups
+        if use_flags:
+            # Presence is static: dict keys are known at trace time.
+            present = tuple(
+                g for g in groups
+                if all(nm in pass_dict for nm in passes.group_passes(g))
+            )
+            for g in groups:
+                if g not in present:
+                    for nm in passes.group_passes(g):
+                        pd[nm] = jnp.zeros((height, width, 3), jnp.float32)
+        enc = transforms.encode_joint_inputs(pd, groups, aux, scales=scales)
+        if use_flags:
+            bits = jnp.asarray(
+                [1.0 if g in present else 0.0 for g in groups], jnp.float32
+            )
+            planes = jnp.broadcast_to(
+                bits[None, None, :], (height, width, len(groups))
+            )
+            enc = jnp.concatenate([enc, planes], axis=-1)
         if spatial:
             frame_fn = halo_lib.make_spatial_apply_batched(
                 apply_fn, mesh, height, width,
                 grid.halo, factory.spatial_multiple(model_cfg),
             )
-            dec = frame_fn(
-                transforms.encode_joint_inputs(pass_dict, groups, aux)[None]
-            )[0]
+            dec = frame_fn(enc[None])[0]
         else:
             frame_fn = tiled.make_tiled_apply(
                 apply_fn, grid, out_ch, tile_batch=infer_cfg.tile_batch
             )
-            dec = frame_fn(transforms.encode_joint_inputs(pass_dict, groups, aux))
+            dec = frame_fn(enc)
 
-        out: Dict[str, Array] = dict(
-            transforms.decode_joint_outputs(dec, pass_dict, groups)
-        )
-        for g in groups:
-            c_name = passes.group_passes(g)[2]
+        decoded = transforms.decode_joint_outputs(dec, pd, groups)
+        out: Dict[str, Array] = {}
+        for g in present:
+            d_name, i_name, c_name = passes.group_passes(g)
+            out[d_name] = decoded[d_name]
+            out[i_name] = decoded[i_name]
             out[c_name] = pass_dict[c_name]
         for extra in passes.COMPOSITE_EXTRA + ("alpha",):
             if extra in pass_dict:
                 out[extra] = pass_dict[extra]
-        out["combined"] = transforms.recompose(out, groups)
+        out["combined"] = transforms.recompose(out, present)
         return out
 
     return denoise, grid
@@ -168,6 +209,7 @@ def make_rgb_frame_denoiser(
     width: int,
     aux: Sequence[str] = ("normal", "depth"),
     albedo_key: str = "diffuse_color",
+    scales=None,
 ):
     """Jitted fn for combined-RGB mode (BASELINE config #1 path at frame
     scale): noisy combined + albedo + aux -> denoised combined."""
@@ -180,7 +222,7 @@ def make_rgb_frame_denoiser(
         frame_fn = tiled.make_tiled_apply(
             apply_fn, grid, 3, tile_batch=infer_cfg.tile_batch, batch_dims=0
         )
-        enc = transforms.encode_rgb_inputs(pass_dict, aux, albedo_key)
+        enc = transforms.encode_rgb_inputs(pass_dict, aux, albedo_key, scales=scales)
         out = frame_fn(enc)
         return {"combined": transforms.decode_rgb_outputs(out)}
 

@@ -9,6 +9,7 @@ the hot loop (device->host is the slow path on tunneled TPUs).
 
 from __future__ import annotations
 
+import re
 import time
 from pathlib import Path
 from typing import Dict, List, Mapping, Optional, Sequence
@@ -33,20 +34,21 @@ def make_sequence_denoiser(
     height: int,
     width: int,
     mode: str = "group",
+    scales=None,
 ):
     """Returns jitted fn(params, noisy_passes, gt_combined|None) ->
     (denoised_combined, psnr, ssim). gt metrics are NaN when gt is absent."""
     if mode == "group":
         denoise, grid = pipeline.make_group_frame_denoiser(
-            model_cfg, infer_cfg, height, width
+            model_cfg, infer_cfg, height, width, scales=scales
         )
     elif mode == "joint":
         denoise, grid = pipeline.make_joint_frame_denoiser(
-            model_cfg, infer_cfg, height, width
+            model_cfg, infer_cfg, height, width, scales=scales
         )
     else:
         denoise, grid = pipeline.make_rgb_frame_denoiser(
-            model_cfg, infer_cfg, height, width
+            model_cfg, infer_cfg, height, width, scales=scales
         )
 
     @jax.jit
@@ -70,6 +72,7 @@ def run_sequence(
     frames: Sequence[Mapping[str, np.ndarray]],
     gts: Optional[Sequence[np.ndarray]] = None,
     mode: str = "group",
+    scales=None,
 ) -> Dict[str, object]:
     """Denoise a frame sequence; returns per-frame latency/PSNR/SSIM.
 
@@ -77,7 +80,7 @@ def run_sequence(
     (the PSNR fetch serializes the device stream for that frame).
     """
     h, w = next(iter(frames[0].values())).shape[:2]
-    run, grid = make_sequence_denoiser(model_cfg, infer_cfg, h, w, mode)
+    run, grid = make_sequence_denoiser(model_cfg, infer_cfg, h, w, mode, scales)
 
     lat_ms: List[float] = []
     psnrs: List[float] = []
@@ -119,6 +122,7 @@ def evaluate_render_root(
     render_root: str | Path,
     mode: str = "group",
     max_frames: int = 0,
+    scales=None,
 ) -> Dict[str, object]:
     """Load frames (noisiest variant vs ground truth) from a render root and
     run the sequence harness over them."""
@@ -133,7 +137,18 @@ def evaluate_render_root(
 
     noisy_frames, gts = [], []
     for fd in frame_dirs:
-        variants = sorted(p for p in fd.iterdir() if p.is_dir() and p.name != GT_DIR)
+        variants = sorted(
+            (p for p in fd.iterdir() if p.is_dir() and p.name != GT_DIR),
+            key=_variant_spp_key,
+        )
         noisy_frames.append(exr.load_frame_dir(variants[0], strict=False))
         gts.append(exr.load_frame_dir(fd / GT_DIR, wanted=["combined"])["combined"])
-    return run_sequence(model_cfg, infer_cfg, params, noisy_frames, gts, mode)
+    return run_sequence(model_cfg, infer_cfg, params, noisy_frames, gts, mode, scales)
+
+
+def _variant_spp_key(p: Path):
+    """Sort noisy variant dirs by NUMERIC sample count so the lowest-spp
+    (noisiest) variant comes first — lexicographic order would rank
+    'spp16_seed0' before 'spp4_seed0' and score the cleanest variant."""
+    m = re.search(r"spp(\d+)", p.name)
+    return (int(m.group(1)) if m else 10**9, p.name)

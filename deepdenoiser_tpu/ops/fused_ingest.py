@@ -62,6 +62,14 @@ def _depth_alpha_kernel(d_ref, a_ref, out_d_ref, out_a_ref):
     out_a_ref[:] = jnp.clip(a_ref[:], 0.0, 1.0)
 
 
+def _depth_kernel(d_ref, out_ref):
+    out_ref[:] = jnp.log1p(jnp.maximum(d_ref[:], 0.0))
+
+
+def _alpha_kernel(a_ref, out_ref):
+    out_ref[:] = jnp.clip(a_ref[:], 0.0, 1.0)
+
+
 def _run_2d(kernel, inputs, n_out, interpret=None):
     """Launch an elementwise kernel over same-shaped 2D views.
     interpret=None auto-selects interpreter mode off-TPU (CI on CPU)."""
@@ -123,6 +131,18 @@ def encode_depth_alpha(
     return out_d.reshape(shape_d), out_a.reshape(shape_a)
 
 
+def encode_depth(depth: Array, interpret=None) -> Array:
+    d2, shape = _as2d(depth.astype(jnp.float32))
+    (out,) = _run_2d(_depth_kernel, [d2], 1, interpret)
+    return out.reshape(shape)
+
+
+def encode_alpha(alpha: Array, interpret=None) -> Array:
+    a2, shape = _as2d(alpha.astype(jnp.float32))
+    (out,) = _run_2d(_alpha_kernel, [a2], 1, interpret)
+    return out.reshape(shape)
+
+
 def encode_group_inputs_pallas(
     pass_dict, group: str, aux=("normal", "depth", "alpha"), interpret=None
 ) -> Array:
@@ -135,14 +155,24 @@ def encode_group_inputs_pallas(
         pass_dict[d_name], pass_dict[i_name], albedo, interpret
     )
     feats = [enc_d, enc_i, albedo.astype(jnp.float32)]
+    # Fuse depth+alpha into one launch only when BOTH are requested; either
+    # alone uses its single-input kernel so any aux subset accepted by
+    # transforms.encode_group_inputs is accepted here too.
+    fuse_da = "depth" in aux and "alpha" in aux
     enc_da = None
     for a in aux:
         if a == "normal":
             feats.append(encode_normal(pass_dict[a], interpret))
-        else:
+        elif fuse_da:
             if enc_da is None:
                 enc_da = encode_depth_alpha(
                     pass_dict["depth"], pass_dict["alpha"], interpret
                 )
             feats.append(enc_da[0] if a == "depth" else enc_da[1])
+        elif a == "depth":
+            feats.append(encode_depth(pass_dict["depth"], interpret))
+        elif a == "alpha":
+            feats.append(encode_alpha(pass_dict["alpha"], interpret))
+        else:
+            raise KeyError(f"unknown aux pass {a!r}")
     return jnp.concatenate(feats, axis=-1)

@@ -45,19 +45,26 @@ def _gaussian_kernel(size: int, sigma: float) -> np.ndarray:
 
 
 def _filter2d(x: Array, kernel: np.ndarray) -> Array:
-    """Depthwise VALID 2D filter, NHWC."""
+    """Depthwise VALID Gaussian filter, NHWC — SEPARABLE (two 1-D passes).
+
+    The window is an outer product g⊗g, so two 1-D depthwise convs compute
+    it exactly with k+k taps instead of k² (11+11 vs 121). Depthwise convs
+    run on the TPU VPU, not the MXU, so this is a ~5.5x cut in the SSIM
+    hot path — at 4K the 2-D form costs tens of ms per filtered moment."""
     c = x.shape[-1]
-    k = jnp.asarray(kernel)[:, :, None, None]
-    k = jnp.tile(k, (1, 1, 1, c))
-    return jax.lax.conv_general_dilated(
-        x,
-        k,
+    g = np.asarray(kernel[:, 0], dtype=np.float32).reshape(-1)
+    g = g / g.sum()  # exact 1-D factor of the outer-product window
+    kh = jnp.asarray(g)[:, None, None, None] * jnp.ones((1, 1, 1, c), jnp.float32)
+    kw = jnp.asarray(g)[None, :, None, None] * jnp.ones((1, 1, 1, c), jnp.float32)
+    kwargs = dict(
         window_strides=(1, 1),
         padding="VALID",
         dimension_numbers=("NHWC", "HWIO", "NHWC"),
         feature_group_count=c,
         precision=jax.lax.Precision.HIGHEST,
     )
+    y = jax.lax.conv_general_dilated(x, kh, **kwargs)
+    return jax.lax.conv_general_dilated(y, kw, **kwargs)
 
 
 def ssim(

@@ -43,6 +43,14 @@ class Role(enum.Enum):
 # The four demodulatable light groups Cycles exposes.
 LIGHT_GROUPS: Tuple[str, ...] = ("diffuse", "glossy", "subsurface", "transmission")
 
+# Convention for the 'normal' pass y component, pinned in ONE place so the
+# augmentation vector fixup, the Blender export scripts, and any future
+# ingest agree: Cycles camera-space normals are Y-UP (+y points toward the
+# top of the image), while numpy image rows grow downward. Geometric
+# consistency under rotation is asserted by
+# tests/test_pipeline_data.py::test_augment_normal_geometry_consistent.
+NORMAL_Y_UP: bool = True
+
 
 @dataclasses.dataclass(frozen=True)
 class RenderPass:

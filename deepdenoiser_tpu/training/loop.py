@@ -57,6 +57,11 @@ class MetricLogger:
         msg = " ".join(f"{k}={v:.5g}" for k, v in scalars.items())
         print(f"[{self._name} step {step}] {msg}", flush=True)
 
+    def log_images(self, step: int, images: Dict[str, np.ndarray]) -> None:
+        """TensorBoard image summaries ((N,H,W,C) float [0,1] or uint8)."""
+        if self._tb is not None:
+            self._tb.write_images(step, images)
+
     def close(self):
         self._f.close()
         if self._tb is not None:
@@ -84,10 +89,27 @@ def fit(
     cfg = _validate_channels(cfg)
     workdir = Path(workdir)
     workdir.mkdir(parents=True, exist_ok=True)
+
+    shard_dir = shard_dir or cfg.data.shard_dir
+    if cfg.data.stats_normalize and not cfg.data.pass_scales:
+        # Statistics-driven normalization (SURVEY.md C7→C4): derive the
+        # scales from the training corpus stats ONCE and freeze them into
+        # the config that is saved below + checkpointed, so resume and
+        # inference both encode exactly as training did.
+        from deepdenoiser_tpu.data import shards as shards_lib
+
+        meta = shards_lib.ShardMeta.from_json(
+            (Path(shard_dir) / "train" / "meta.json").read_text()
+        )
+        cfg = dataclasses.replace(
+            cfg,
+            data=dataclasses.replace(
+                cfg.data, pass_scales=loader_lib.derive_pass_scales(meta)
+            ),
+        )
     config_lib.save(cfg, workdir / "config.json")
 
     tcfg, dcfg, mcfg = cfg.train, cfg.data, cfg.model
-    shard_dir = shard_dir or dcfg.shard_dir
     n_dev = len(jax.devices())
     if use_mesh is None:
         use_mesh = tcfg.data_parallel and n_dev > 1
@@ -99,7 +121,8 @@ def fit(
 
     encode = jax.jit(loader_lib.make_batch_encoder(dcfg))
     step_fn = train_lib.make_train_step(mcfg, tcfg, mesh)
-    eval_fn = train_lib.make_eval_step(mcfg, tcfg.loss, mesh)
+    eval_fn = train_lib.make_full_eval_step(mcfg, dcfg, tcfg.loss, mesh)
+    preview_fn = train_lib.make_eval_preview(mcfg, dcfg)
 
     state = train_lib.create_state(mcfg, tcfg, jax.random.PRNGKey(dcfg.seed),
                                    spatial=dcfg.crop)
@@ -151,9 +174,12 @@ def fit(
             if step_num % tcfg.log_every == 0 or step_num == target:
                 logger.log(step_num, mets)
             if step_num % tcfg.eval_every == 0 and (Path(shard_dir) / "validation" / "meta.json").exists():
-                emets = _run_eval(eval_fn, encode, state, shard_dir, dcfg, mesh)
+                emets, raw0 = _run_eval(eval_fn, state, shard_dir, dcfg, mesh)
                 if emets:
                     eval_logger.log(step_num, emets)
+                if raw0 is not None:
+                    _log_preview(preview_fn, state, raw0, step_num,
+                                 eval_logger, workdir)
             if step_num % tcfg.checkpoint_every == 0:
                 save(step_num)
         save(step_num, force=True)
@@ -168,8 +194,11 @@ def fit(
     return state
 
 
-def _run_eval(eval_fn, encode, state, shard_dir, dcfg, mesh, max_batches: int = 8):
+def _run_eval(eval_fn, state, shard_dir, dcfg, mesh, max_batches: int = 8):
+    """Eval over raw validation batches (encode/decode happen inside the
+    jitted eval step). Returns (mean metrics, first raw batch for previews)."""
     agg: Dict[str, list] = {}
+    first_raw = None
     ds = loader_lib.make_dataset(str(Path(shard_dir) / "validation"), dcfg,
                                  training=False)
     for i, raw in enumerate(ds):
@@ -177,10 +206,31 @@ def _run_eval(eval_fn, encode, state, shard_dir, dcfg, mesh, max_batches: int = 
             break
         if raw["source/combined"].shape[0] != dcfg.batch_size:
             break  # static shapes only
-        batch = encode({k: np.asarray(v) for k, v in raw.items()})
+        batch = {k: np.asarray(v) for k, v in raw.items()}
+        if first_raw is None:
+            first_raw = batch
         if mesh is not None:
             batch = mesh_lib.shard_batch(batch, mesh)
         mets = eval_fn(state, batch)
         for k, v in mets.items():
             agg.setdefault(k, []).append(float(v))
-    return {k: float(np.mean(v)) for k, v in agg.items()}
+    return {k: float(np.mean(v)) for k, v in agg.items()}, first_raw
+
+
+def _log_preview(preview_fn, state, raw, step, logger: MetricLogger, workdir: Path):
+    """noisy | denoised | GT tonemapped strips: one row per example, written
+    to TensorBoard (when available) and workdir/previews/ as PNG."""
+    from deepdenoiser_tpu.utils import images as img_lib
+
+    noisy, den, gt = (np.asarray(x) for x in preview_fn(state, raw))
+    rows = [
+        img_lib.side_by_side(
+            img_lib.tonemap_srgb(noisy[i]),
+            img_lib.tonemap_srgb(den[i]),
+            img_lib.tonemap_srgb(gt[i]),
+        )
+        for i in range(noisy.shape[0])
+    ]
+    strip = np.concatenate(rows, axis=0)
+    logger.log_images(step, {"noisy_denoised_gt": strip[None]})
+    img_lib.save_png(workdir / "previews" / f"step_{step:08d}.png", strip)

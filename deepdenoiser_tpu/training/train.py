@@ -151,6 +151,82 @@ def make_train_step(
     return jax.jit(sharded, donate_argnums=(0,))
 
 
+def make_full_eval_step(
+    model_cfg: ModelConfig,
+    data_cfg,
+    loss_cfg: losses.LossConfig,
+    mesh: Optional[Mesh] = None,
+):
+    """Jitted eval over RAW batches, for BOTH raw and EMA params (prefix
+    'ema_'): encoded-space loss/PSNR plus TONEMAPPED PSNR/SSIM of the
+    decoded+recomposed prediction — the same quality numbers the inference
+    side reports, so training-time tracking is directly comparable
+    (upstream analogue: estimator eval metrics — SURVEY.md §5).
+    'noisy_psnr_tm' (input vs GT) anchors the gain."""
+    from deepdenoiser_tpu.data import loader as loader_lib
+
+    model = factory.build_model(model_cfg)
+    encode = loader_lib.make_batch_encoder(data_cfg)
+    decode = loader_lib.make_eval_decoder(data_cfg)
+    tm = metrics.tonemap_for_metrics
+
+    def local_eval(state: TrainState, raw: Batch, axis: Optional[str]):
+        batch = encode(raw)
+        mets: Dict[str, Array] = {}
+        ref_rgb = noisy_rgb = None
+        for prefix, params in (("", state.params), ("ema_", state.ema_params)):
+            if params is None:
+                continue
+            pred = model.apply(params, batch["x"])
+            mets[prefix + "loss"] = losses.pass_loss(
+                loss_cfg, pred, batch["y"], batch.get("mask")
+            )
+            mets[prefix + "psnr_encoded"] = metrics.psnr(
+                pred, batch["y"], data_range=4.0
+            )
+            pred_rgb, ref_rgb, noisy_rgb = decode(raw, pred)
+            mets[prefix + "psnr_tm"] = metrics.psnr(tm(pred_rgb), tm(ref_rgb))
+            mets[prefix + "ssim_tm"] = metrics.ssim(tm(pred_rgb), tm(ref_rgb)).mean()
+        mets["noisy_psnr_tm"] = metrics.psnr(tm(noisy_rgb), tm(ref_rgb))
+        if axis is not None:
+            mets = jax.lax.pmean(mets, axis)
+        return mets
+
+    if mesh is None:
+        return jax.jit(functools.partial(local_eval, axis=None))
+    sharded = jax.shard_map(
+        functools.partial(local_eval, axis="data"),
+        mesh=mesh,
+        in_specs=(P(), P("data")),
+        out_specs=P(),
+        check_vma=False,
+    )
+    return jax.jit(sharded)
+
+
+def make_eval_preview(model_cfg: ModelConfig, data_cfg, max_images: int = 4):
+    """Jitted fn(state, raw_batch) -> (noisy_rgb, denoised_rgb, gt_rgb) for
+    the first max_images examples — EMA params when kept. Feeds the
+    TensorBoard noisy|denoised|GT image strips (SURVEY.md §5: the reference
+    estimator emitted image summaries)."""
+    from deepdenoiser_tpu.data import loader as loader_lib
+
+    model = factory.build_model(model_cfg)
+    encode = loader_lib.make_batch_encoder(data_cfg)
+    decode = loader_lib.make_eval_decoder(data_cfg)
+
+    @jax.jit
+    def preview(state: TrainState, raw: Batch):
+        batch = encode(raw)
+        params = state.ema_params if state.ema_params is not None else state.params
+        pred = model.apply(params, batch["x"])
+        pred_rgb, ref_rgb, noisy_rgb = decode(raw, pred)
+        k = min(max_images, pred_rgb.shape[0])
+        return noisy_rgb[:k], pred_rgb[:k], ref_rgb[:k]
+
+    return preview
+
+
 def make_eval_step(
     model_cfg: ModelConfig,
     loss_cfg: losses.LossConfig,

@@ -73,14 +73,26 @@ _DENORM = {
 }
 
 
-def normalize(pass_name: str, x: Array) -> Array:
-    """Map raw pass values to the network's input representation."""
-    return _NORM[passes.get(pass_name).kind](x)
+def normalize(pass_name: str, x: Array, scale: float = 1.0) -> Array:
+    """Map raw pass values to the network's input representation.
+
+    `scale` is a statistics-driven pre-scale (upstream: DataStatistics
+    feeding FeatureEngineering — SURVEY.md C7→C4): scene-scale-sensitive
+    passes (depth) are multiplied by a corpus-derived factor before the
+    kind-normalization, e.g. log1p(depth / mean_depth) instead of the
+    scene-scale-dependent log1p(depth)."""
+    f = _NORM[passes.get(pass_name).kind]
+    return f(x * scale) if scale != 1.0 else f(x)
 
 
-def denormalize(pass_name: str, y: Array) -> Array:
+def denormalize(pass_name: str, y: Array, scale: float = 1.0) -> Array:
     """Inverse of `normalize` (up to clamping of invalid raw values)."""
-    return _DENORM[passes.get(pass_name).kind](y)
+    out = _DENORM[passes.get(pass_name).kind](y)
+    return out / scale if scale != 1.0 else out
+
+
+def _aux_scale(scales: Optional[Mapping[str, float]], name: str) -> float:
+    return float(scales.get(name, 1.0)) if scales else 1.0
 
 
 # ---------------------------------------------------------------------------
@@ -146,10 +158,14 @@ def encode_group_inputs(
     group: str,
     aux: Sequence[str] = passes.AUX_PASSES,
     eps: float = DEMOD_EPS,
+    scales: Optional[Mapping[str, float]] = None,
 ) -> Array:
     """Stack the network input for one light group along channels (NHWC):
 
     [log1p(demod direct), log1p(demod indirect), albedo, normalized aux...]
+
+    `scales` (optional): per-aux-pass statistics-driven pre-scales
+    (SURVEY.md C7→C4), e.g. {'depth': 1/mean_depth}.
     """
     d_name, i_name, c_name = passes.group_passes(group)
     albedo = pass_dict[c_name]
@@ -159,7 +175,7 @@ def encode_group_inputs(
         albedo,
     ]
     for a in aux:
-        feats.append(normalize(a, pass_dict[a]))
+        feats.append(normalize(a, pass_dict[a], _aux_scale(scales, a)))
     return jnp.concatenate(feats, axis=-1)
 
 
@@ -201,6 +217,7 @@ def encode_joint_inputs(
     groups: Sequence[str] = LIGHT_GROUPS,
     aux: Sequence[str] = passes.AUX_PASSES,
     eps: float = DEMOD_EPS,
+    scales: Optional[Mapping[str, float]] = None,
 ) -> Array:
     """Joint-group mode: every group's (log-demod direct, log-demod
     indirect, albedo) stacked into ONE channel stack plus shared aux.
@@ -218,7 +235,7 @@ def encode_joint_inputs(
         feats.append(_norm_radiance(demodulate(pass_dict[i_name], albedo, eps)))
         feats.append(albedo)
     for a in aux:
-        feats.append(normalize(a, pass_dict[a]))
+        feats.append(normalize(a, pass_dict[a], _aux_scale(scales, a)))
     return jnp.concatenate(feats, axis=-1)
 
 
@@ -254,11 +271,12 @@ def encode_rgb_inputs(
     pass_dict: Mapping[str, Array],
     aux: Sequence[str] = ("normal", "depth"),
     albedo_key: str = "diffuse_color",
+    scales: Optional[Mapping[str, float]] = None,
 ) -> Array:
     """Combined-RGB mode input (BASELINE config #1): noisy RGB + albedo + aux."""
     feats = [_norm_radiance(pass_dict["combined"]), pass_dict[albedo_key]]
     for a in aux:
-        feats.append(normalize(a, pass_dict[a]))
+        feats.append(normalize(a, pass_dict[a], _aux_scale(scales, a)))
     return jnp.concatenate(feats, axis=-1)
 
 

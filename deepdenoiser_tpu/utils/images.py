@@ -43,3 +43,17 @@ def side_by_side(*imgs: np.ndarray, pad: int = 4) -> np.ndarray:
             parts.append(gutter)
         parts.append(img)
     return np.concatenate(parts, axis=1)
+
+
+def save_png(path: str | Path, ldr01: np.ndarray) -> None:
+    """Write an ALREADY tone-mapped [0,1] (H, W, C) buffer as 8-bit PNG
+    (save_preview_png tonemaps; this one does not)."""
+    from PIL import Image
+
+    arr = (np.clip(np.asarray(ldr01, dtype=np.float32), 0.0, 1.0) * 255.0 + 0.5).astype(
+        np.uint8
+    )
+    if arr.ndim == 3 and arr.shape[-1] == 1:
+        arr = arr[..., 0]
+    Path(path).parent.mkdir(parents=True, exist_ok=True)
+    Image.fromarray(arr).save(str(path))

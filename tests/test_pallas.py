@@ -58,6 +58,19 @@ def test_fused_group_encode_parity(noisy):
     np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=1e-6)
 
 
+@pytest.mark.parametrize(
+    "aux", [(), ("depth",), ("alpha",), ("normal", "depth"), ("normal", "depth", "alpha")]
+)
+def test_fused_group_encode_aux_subsets(noisy, aux):
+    """The Pallas twin accepts every aux subset the pure-JAX encoder does
+    (ADVICE r1: aux=('depth',) used to KeyError on the missing alpha)."""
+    d = {k: jnp.asarray(v) for k, v in noisy.items() if k != "alpha" or "alpha" in aux}
+    got = fused_ingest.encode_group_inputs_pallas(d, "diffuse", aux=aux, interpret=True)
+    want = transforms.encode_group_inputs(d, "diffuse", aux=aux)
+    assert got.shape == want.shape
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=1e-6)
+
+
 def test_fused_batched_parity(noisy):
     """NHWC batched input goes through the same flattened-view kernels."""
     d = jnp.stack([jnp.asarray(noisy["diffuse_direct"])] * 2)

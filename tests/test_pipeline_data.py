@@ -119,6 +119,33 @@ def test_augment_normal_vectors_consistent():
             np.testing.assert_array_equal(out[..., 2], spatial[..., 2])
 
 
+def test_augment_normal_geometry_consistent():
+    """The vector fixup matches real geometry: normals derived from a height
+    field, with the pinned y-up camera convention (passes.NORMAL_Y_UP),
+    rotate/flip identically whether we (a) transform the normal map with
+    apply_d4 or (b) transform the height field and re-derive the normals."""
+    assert passes.NORMAL_Y_UP  # the convention this test certifies
+
+    def normals_of(h: np.ndarray) -> np.ndarray:
+        # world coords: x = +col, y = up = -row  =>  n ∝ (-dh/dx, -dh/dy, 1)
+        dh_di, dh_dj = np.gradient(h)
+        n = np.stack([-dh_dj, +dh_di, np.ones_like(h)], axis=-1)
+        return (n / np.linalg.norm(n, axis=-1, keepdims=True)).astype(np.float32)
+
+    rng = np.random.default_rng(7)
+    # smooth random height field (cumulative sums of noise)
+    h = np.cumsum(np.cumsum(rng.standard_normal((16, 16)), 0), 1) * 0.05
+    for k in range(4):
+        for flip in (False, True):
+            got = augment.apply_d4(normals_of(h), k, flip, is_normal=True)
+            h_t = augment.apply_d4(h[..., None], k, flip, is_normal=False)[..., 0]
+            want = normals_of(h_t)
+            # interior crop: np.gradient uses one-sided stencils at borders
+            np.testing.assert_allclose(
+                got[2:-2, 2:-2], want[2:-2, 2:-2], atol=1e-5
+            )
+
+
 def test_augment_rotation_roundtrip():
     rng = np.random.default_rng(1)
     ex = {"source/normal": rng.standard_normal((4, 4, 3)).astype(np.float32)}
@@ -126,6 +153,72 @@ def test_augment_rotation_roundtrip():
     for _ in range(4):
         out = augment.apply_d4(out, 1, False, is_normal=True)
     np.testing.assert_allclose(out, ex["source/normal"], atol=1e-6)
+
+
+def test_feature_flags_end_to_end(tmp_path_factory, devices8):
+    """SURVEY.md C3 wired end-to-end: a corpus mixing full-group scenes with
+    scenes lacking subsurface+transmission prepares, loads, encodes (flag
+    planes + loss mask), and trains data-parallel on 8 fake devices; garbage
+    in a missing group's target channels changes nothing (masked loss)."""
+    import jax
+    import jax.numpy as jnp
+
+    from deepdenoiser_tpu.data import exr, synthetic
+    from deepdenoiser_tpu.parallel import mesh as M
+    from deepdenoiser_tpu.training import train as T
+
+    root = tmp_path_factory.mktemp("flagroot")
+    clean_all, noisy_all = synthetic.generate_frame_set(
+        24, 24, seed=1, spps=(4,), n_seeds=1
+    )
+    exr.save_frame_dir(root / "full0" / prepare.GT_DIR, clean_all)
+    exr.save_frame_dir(root / "full0" / "spp4_seed0", noisy_all[0])
+    g2 = ("diffuse", "glossy")
+    clean2, noisy2 = synthetic.generate_frame_set(
+        24, 24, seed=2, spps=(4,), n_seeds=1, groups=g2
+    )
+    exr.save_frame_dir(root / "partial0" / prepare.GT_DIR, clean2)
+    exr.save_frame_dir(root / "partial0" / "spp4_seed0", noisy2[0])
+
+    out = tmp_path_factory.mktemp("flagshards")
+    dcfg = DataConfig(crop=16, crops_per_frame=4, batch_size=8, mode="joint",
+                      use_flags=True, validation_fraction=0.0)
+    metas = prepare.prepare_dataset(root, out, dcfg, examples_per_shard=8)
+    assert metas["train"].flags_dim == len(passes.LIGHT_GROUPS)
+
+    it = loader.make_iterator(str(out / "train"), dcfg, training=True)
+    raw = {k: np.asarray(v) for k, v in next(it).items()}
+    assert raw[shards.FLAGS_KEY].shape == (8, 4)
+    assert raw[shards.FLAGS_KEY].min() == 0.0  # partial frames in the batch
+    assert raw[shards.FLAGS_KEY].max() == 1.0
+
+    encode = loader.make_batch_encoder(dcfg)
+    batch = encode(raw)
+    assert batch["x"].shape[-1] == loader.input_channels(dcfg)  # +4 flag planes
+    assert batch["mask"].shape == (8, 1, 1, 24)
+
+    mcfg = ModelConfig(
+        in_channels=loader.input_channels(dcfg),
+        out_channels=loader.output_channels(dcfg),
+        base_width=8, depth=1, convs_per_level=1,
+    )
+    tcfg = TrainConfig(steps=10, warmup_steps=0)
+    mesh = M.make_mesh(8)
+    step = T.make_train_step(mcfg, tcfg, mesh)
+
+    state1 = T.create_state(mcfg, tcfg, jax.random.PRNGKey(0), spatial=16)
+    _, mets1 = step(state1, M.shard_batch(dict(batch), mesh))
+    assert np.isfinite(float(mets1["loss"]))
+
+    # corrupt ONLY the masked (missing-group) target channels
+    y = np.asarray(batch["y"]).copy()
+    mask = np.asarray(batch["mask"])[:, 0, 0, :]
+    y += (1.0 - mask)[:, None, None, :] * 123.0
+    batch2 = dict(batch)
+    batch2["y"] = jnp.asarray(y)
+    state2 = T.create_state(mcfg, tcfg, jax.random.PRNGKey(0), spatial=16)
+    _, mets2 = step(state2, M.shard_batch(batch2, mesh))
+    assert float(mets1["loss"]) == float(mets2["loss"])
 
 
 def test_train_on_prepared_data(shard_dirs):
@@ -150,6 +243,75 @@ def test_train_on_prepared_data(shard_dirs):
         losses_seen.append(float(mets["loss"]))
     assert all(np.isfinite(losses_seen))
     assert losses_seen[-1] < losses_seen[0]
+
+
+def test_stats_driven_normalization(shard_dirs):
+    """SURVEY.md C7→C4: corpus statistics drive the depth normalization.
+    derive_pass_scales reads meta.json stats; the encoder applies
+    log1p(depth * scale); the inverse round-trips; and loop.fit freezes
+    the derived scales into the saved config so inference matches."""
+    import jax.numpy as jnp
+
+    from deepdenoiser_tpu import config as config_lib, transforms
+
+    out, metas, cfg = shard_dirs
+    scales = loader.derive_pass_scales(metas["train"])
+    assert len(scales) == 1 and scales[0][0] == "depth"
+    want = 1.0 / metas["train"].stats["depth"]["mean"]
+    assert abs(scales[0][1] - want) < 1e-9
+
+    # encoder applies the scale: last aux channel is depth
+    dcfg = DataConfig(crop=32, batch_size=4, mode="joint",
+                      pass_scales=scales)
+    it = loader.make_iterator(str(out / "train"), dcfg, training=False)
+    raw = {k: np.asarray(v) for k, v in next(it).items()}
+    x_scaled = loader.make_batch_encoder(dcfg)(raw)["x"]
+    x_plain = loader.make_batch_encoder(
+        DataConfig(crop=32, batch_size=4, mode="joint"))(raw)["x"]
+    depth_ch = 36 + 3  # 9*4 group channels + normal(3), then depth
+    np.testing.assert_allclose(
+        np.asarray(x_scaled[..., depth_ch]),
+        np.asarray(np.log1p(raw["source/depth"][..., 0] * scales[0][1])),
+        rtol=1e-6,
+    )
+    assert not np.allclose(np.asarray(x_scaled[..., depth_ch]),
+                           np.asarray(x_plain[..., depth_ch]))
+
+    # normalize/denormalize round-trip with a scale
+    d = jnp.asarray(raw["source/depth"])
+    rt = transforms.denormalize("depth", transforms.normalize("depth", d, 0.37), 0.37)
+    np.testing.assert_allclose(np.asarray(rt), np.asarray(d), rtol=1e-5, atol=1e-6)
+
+    # config JSON round-trip preserves the frozen scales
+    ecfg = config_lib.ExperimentConfig(data=dcfg)
+    rt_cfg = config_lib.from_dict(config_lib.ExperimentConfig,
+                                  config_lib.to_dict(ecfg))
+    assert rt_cfg.data.pass_scales == scales
+
+
+def test_fit_freezes_stats_scales(shard_dirs, tmp_path):
+    """loop.fit with stats_normalize derives the scales once and saves them
+    in workdir/config.json (the contract that makes inference encode
+    identically to training)."""
+    import json
+
+    from deepdenoiser_tpu import config as config_lib
+    from deepdenoiser_tpu.training import loop
+
+    out, metas, cfg = shard_dirs
+    dcfg = DataConfig(crop=32, batch_size=4, mode="joint", stats_normalize=True)
+    ecfg = config_lib.ExperimentConfig(
+        name="stats-test",
+        model=ModelConfig(base_width=8, depth=1, convs_per_level=1),
+        data=dcfg,
+        train=TrainConfig(steps=2, warmup_steps=0, log_every=1,
+                          eval_every=100, checkpoint_every=100),
+    )
+    loop.fit(ecfg, tmp_path / "run", shard_dir=str(out), use_mesh=False)
+    saved = json.loads((tmp_path / "run" / "config.json").read_text())
+    ps = saved["data"]["pass_scales"]
+    assert len(ps) == 1 and ps[0][0] == "depth"
+    assert abs(ps[0][1] - 1.0 / metas["train"].stats["depth"]["mean"]) < 1e-9
 
 
 def test_batch_encoder_joint(shard_dirs):

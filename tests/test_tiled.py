@@ -162,6 +162,36 @@ def test_joint_pipeline_end_to_end():
     )
 
 
+def test_joint_pipeline_flags_missing_groups():
+    """Flag-conditioned inference (SURVEY.md C3): a frame lacking
+    subsurface+transmission denoises through the same joint network —
+    missing passes zero-filled, flag planes appended, absent groups dropped
+    from the recomposition."""
+    g2 = ("diffuse", "glossy")
+    clean = synthetic.generate_clean_passes(48, 64, seed=15, groups=g2)
+    noisy = synthetic.add_mc_noise(clean, spp=16, seed=4, groups=g2)
+    n_groups = len(transforms.LIGHT_GROUPS)
+    cfg = tiny_cfg(
+        in_channels=transforms.joint_input_channels() + n_groups,
+        out_channels=transforms.joint_output_channels(),
+    )
+    params = factory.init_params(cfg, jax.random.PRNGKey(0), spatial=32)
+    icfg = InferenceConfig(tile=0, compute_dtype="float32")
+    denoise, _ = pipeline.make_joint_frame_denoiser(
+        cfg, icfg, 48, 64, use_flags=True
+    )
+    out = denoise(params, {k: jnp.asarray(v) for k, v in noisy.items()})
+    assert out["combined"].shape == (48, 64, 3)
+    assert np.isfinite(np.asarray(out["combined"])).all()
+    assert "subsurface_direct" not in out  # absent group not fabricated
+    rec = transforms.recompose(
+        {k: v for k, v in out.items() if k != "combined"}, groups=g2
+    )
+    np.testing.assert_allclose(
+        np.asarray(rec), np.asarray(out["combined"]), rtol=1e-5, atol=1e-5
+    )
+
+
 def test_joint_encode_decode_identity():
     """decode_joint(encode_joint|identity-net) reproduces clean radiance."""
     clean = synthetic.generate_clean_passes(24, 24, seed=14)

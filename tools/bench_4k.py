@@ -66,14 +66,25 @@ def main() -> int:
         return sj.add_mc_noise(key, clean, args.spp)
 
     @jax.jit
-    def run(params, noisy, gt):
+    def den_only(params, noisy, salt):
+        # denoise-ONLY latency (metrics excluded), chained-salt methodology
+        # of bench.py: `salt` feeds the input so sequential calls can't be
+        # CSE'd; one scalar fetch forces the whole chain.
+        f = dict(noisy)
+        f["diffuse_direct"] = f["diffuse_direct"] + salt
+        return denoise(params, f)["combined"].sum()
+
+    @jax.jit
+    def quality(params, noisy, gt):
         out = denoise(params, noisy)
         pred = metrics.tonemap_for_metrics(out["combined"])[None]
         ref = metrics.tonemap_for_metrics(gt)[None]
         return (
             metrics.psnr_per_image(pred, ref)[0],
             metrics.ssim(pred, ref)[0],
-            metrics.psnr_per_image(metrics.tonemap_for_metrics(noisy["combined"])[None], ref)[0],
+            metrics.psnr_per_image(
+                metrics.tonemap_for_metrics(noisy["combined"])[None], ref
+            )[0],
         )
 
     print("generating 4K scene on device + compiling...", file=sys.stderr)
@@ -81,18 +92,27 @@ def main() -> int:
     clean = gen_clean(key)
     gt = clean["combined"]
     noisy0 = gen_noisy(jax.random.PRNGKey(100), clean)
-    _ = [float(x) for x in run(params, noisy0, gt)]  # compile + settle
+    _ = float(den_only(params, noisy0, 0.0))  # compile + settle
+    _ = float(den_only(params, noisy0, 0.0))
 
+    K = 4
     lat, psnrs, ssims, psnr_noisy = [], [], [], []
     for i in range(args.frames):
         noisy = gen_noisy(jax.random.PRNGKey(100 + i), clean)
-        jd = run(params, noisy, gt)  # warm the stream with gen work done
-        _ = float(jd[0])
+        # chain K denoises, subtract a 1-chain run: cancels the fetch RTT
+        s = den_only(params, noisy, 0.0)
         t0 = time.perf_counter()
-        pd, sd, pn = run(params, noisy, gt)
-        pd = float(pd)
-        lat.append(1e3 * (time.perf_counter() - t0))
-        psnrs.append(pd)
+        s = den_only(params, noisy, s * 1e-30)
+        float(s)
+        t1 = time.perf_counter() - t0
+        t0 = time.perf_counter()
+        for _ in range(K):
+            s = den_only(params, noisy, s * 1e-30)
+        float(s)
+        tk = time.perf_counter() - t0
+        lat.append(1e3 * (tk - t1) / (K - 1))
+        pd, sd, pn = quality(params, noisy, gt)
+        psnrs.append(float(pd))
         ssims.append(float(sd))
         psnr_noisy.append(float(pn))
 

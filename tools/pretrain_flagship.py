@@ -31,7 +31,31 @@ RGB_SMALL = ModelConfig(
     out_channels=3, base_width=32, depth=2, convs_per_level=1,
     act="leaky_relu", compute_dtype="bfloat16", predict_residual=True,
 )
-MODELS = {"flagship": FLAGSHIP, "rgb-small": RGB_SMALL}
+# Zoo challengers for the architecture ablation (SURVEY.md C12/C13/C14):
+# trained shorter than the 150k-step flagship; compared on latency +
+# train-family/holdout quality by tools/eval_zoo.py.
+MULTISCALE = ModelConfig(  # C13: coarse->fine compose_scales wrapper
+    backbone="unet", in_channels=transforms.joint_input_channels(),
+    out_channels=transforms.joint_output_channels(), base_width=48, depth=3,
+    convs_per_level=2, n_scales=3, act="leaky_relu",
+    compute_dtype="bfloat16", predict_residual=True,
+)
+TIRAMISU = ModelConfig(  # C12: FC-DenseNet backbone
+    backbone="tiramisu", in_channels=transforms.joint_input_channels(),
+    out_channels=transforms.joint_output_channels(), growth_rate=16,
+    layers_per_block=4, depth=3, act="leaky_relu",
+    compute_dtype="bfloat16", predict_residual=True,
+)
+KPN = ModelConfig(  # C14: per-pixel 5x5 filter prediction, group mode
+    backbone="unet", in_channels=transforms.group_input_channels(),
+    out_channels=6, base_width=48, depth=3, convs_per_level=2,
+    kernel_prediction=True, kpn_size=5, kpn_slots=2, act="leaky_relu",
+    compute_dtype="bfloat16",
+)
+MODELS = {
+    "flagship": FLAGSHIP, "rgb-small": RGB_SMALL,
+    "multiscale": MULTISCALE, "tiramisu": TIRAMISU, "kpn": KPN,
+}
 from deepdenoiser_tpu.data import synthetic_jax
 from deepdenoiser_tpu.ops.losses import LossConfig
 from deepdenoiser_tpu.training import train as train_lib
