@@ -83,7 +83,9 @@ def cmd_denoise(args) -> int:
     from deepdenoiser_tpu.training import train as train_lib
     from deepdenoiser_tpu.training.checkpoint import CheckpointManager
 
-    cfg = _load_config(args.config, args.preset)
+    from deepdenoiser_tpu.training.loop import _validate_channels
+
+    cfg = _validate_channels(_load_config(args.config, args.preset))
     frame = _load_frame(Path(args.frame))
     h, w = next(iter(frame.values())).shape[:2]
 
@@ -102,6 +104,21 @@ def cmd_denoise(args) -> int:
     mgr.close()
 
     mode = args.mode or cfg.data.mode
+    if args.mode and args.mode != cfg.data.mode:
+        # surface the mismatch up front instead of a deep Flax shape error
+        from deepdenoiser_tpu.data import loader as loader_lib
+
+        want = loader_lib.input_channels(
+            dataclasses.replace(cfg.data, mode=args.mode)
+        )
+        if mcfg.in_channels != want:
+            print(
+                f"error: --mode {args.mode} needs {want} input channels but "
+                f"the config/checkpoint model has {mcfg.in_channels} "
+                f"(trained with mode={cfg.data.mode!r})",
+                file=sys.stderr,
+            )
+            return 2
     scales = dict(cfg.data.pass_scales) or None  # stats-driven norm (C7→C4)
     if mode == "group":
         denoise, _ = pipeline.make_group_frame_denoiser(
@@ -140,7 +157,9 @@ def cmd_eval(args) -> int:
     from deepdenoiser_tpu.training import train as train_lib
     from deepdenoiser_tpu.training.checkpoint import CheckpointManager
 
-    cfg = _load_config(args.config, args.preset)
+    from deepdenoiser_tpu.training.loop import _validate_channels
+
+    cfg = _validate_channels(_load_config(args.config, args.preset))
     state = train_lib.create_state(cfg.model, cfg.train, jax.random.PRNGKey(0),
                                    spatial=cfg.data.crop)
     mgr = CheckpointManager(args.checkpoint)

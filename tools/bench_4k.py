@@ -22,6 +22,7 @@ from pathlib import Path
 sys.path.insert(0, str(Path(__file__).resolve().parents[1]))
 
 import jax
+import jax.numpy as jnp
 import numpy as np
 
 
@@ -33,6 +34,10 @@ def main() -> int:
     p.add_argument("--tile", type=int, default=0)
     p.add_argument("--tile-batch", type=int, default=0,
                    help="chunk tiles through lax.map to bound HBM (banded mode)")
+    p.add_argument("--halo", type=int, default=0,
+                   help="override the certified halo; in whole-frame mode "
+                        "this is just the reflect border pad (smaller = "
+                        "less work, slightly less border context)")
     p.add_argument("--spp", type=float, default=4.0)
     args = p.parse_args()
 
@@ -53,7 +58,7 @@ def main() -> int:
         print("using release weights", file=sys.stderr)
 
     icfg = InferenceConfig(tile=args.tile, tile_batch=args.tile_batch,
-                           compute_dtype="bfloat16")
+                           halo=args.halo, compute_dtype="bfloat16")
     denoise, grid = pipeline.make_joint_frame_denoiser(FLAGSHIP, icfg, H, W)
     print(f"grid: {grid}", file=sys.stderr)
 
@@ -92,15 +97,20 @@ def main() -> int:
     clean = gen_clean(key)
     gt = clean["combined"]
     noisy0 = gen_noisy(jax.random.PRNGKey(100), clean)
-    _ = float(den_only(params, noisy0, 0.0))  # compile + settle
-    _ = float(den_only(params, noisy0, 0.0))
+    # warm up with the ARRAY-salt signature the timed loop uses (a Python
+    # float salt would compile a different program and the recompile would
+    # land inside the first timed chain)
+    s0 = den_only(params, noisy0, jnp.zeros(()))
+    _ = float(den_only(params, noisy0, s0 * 1e-30))
 
     K = 4
     lat, psnrs, ssims, psnr_noisy = [], [], [], []
+    _ = [float(x) for x in quality(params, noisy0, gt)]  # compile quality too
     for i in range(args.frames):
         noisy = gen_noisy(jax.random.PRNGKey(100 + i), clean)
         # chain K denoises, subtract a 1-chain run: cancels the fetch RTT
         s = den_only(params, noisy, 0.0)
+        float(s)  # force: settle generation + this call before timing
         t0 = time.perf_counter()
         s = den_only(params, noisy, s * 1e-30)
         float(s)
