@@ -40,6 +40,17 @@ def log(*a):
 
 
 def main() -> None:
+    import argparse
+
+    ap = argparse.ArgumentParser()
+    # Default 32: measured quality-identical to the certified-halo pad at
+    # both 1080p and 4K (31.31 dB / +6.12 both ways at 1080p; 30.68/.6184
+    # both ways at 4K) while cutting padded-plane work ~25% — 59.6 -> 44.0
+    # ms/frame. See docs/STATUS_R2.md "the 4K story".
+    ap.add_argument("--border", type=int, default=32,
+                    help="whole-frame reflect border (-1 = certified halo)")
+    args = ap.parse_args()
+
     from __graft_entry__ import FLAGSHIP
     from deepdenoiser_tpu.config import InferenceConfig
     from deepdenoiser_tpu.data import synthetic
@@ -79,7 +90,8 @@ def main() -> None:
             trained = "orbax training checkpoint"
     log(f"weights: {trained or 'random init'}")
 
-    icfg = InferenceConfig(tile=0, compute_dtype="bfloat16")  # whole-frame
+    icfg = InferenceConfig(tile=0, compute_dtype="bfloat16",
+                           border=args.border)  # whole-frame
     denoise, grid = pipeline.make_joint_frame_denoiser(FLAGSHIP, icfg, H, W)
     log(f"grid: {grid} (net {grid.net_h}x{grid.net_w}, joint 4-group single pass)")
 

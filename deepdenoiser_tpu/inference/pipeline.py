@@ -42,6 +42,15 @@ def plan_for(
     model_cfg: ModelConfig, infer_cfg: InferenceConfig, height: int, width: int
 ) -> tiled.TileGrid:
     halo = infer_cfg.halo if infer_cfg.halo > 0 else factory.halo(model_cfg)
+    if (
+        infer_cfg.tile == 0
+        and not infer_cfg.spatial_shard
+        and infer_cfg.border >= 0
+    ):
+        # Whole-frame mode: the pad is border CONTEXT only (no seams to
+        # certify), so a smaller reflect border is a pure latency win; see
+        # InferenceConfig.border.
+        halo = min(halo, infer_cfg.border)
     return tiled.plan_grid(
         height, width, infer_cfg.tile, halo, factory.spatial_multiple(model_cfg)
     )

@@ -15,9 +15,16 @@ the concat into the conv's im2col — so emitting separate encoded buffers
 loses nothing.
 
 Parity: tests/test_pallas.py checks bit-level agreement with the pure-JAX
-transforms (interpret mode on CPU, compiled on TPU). The pipeline flag
-`use_pallas_ingest` swaps implementations; both are always kept because
-the pure-JAX path is the reference semantics.
+transforms (interpret mode on CPU); tools/check_pallas_tpu.py verified the
+COMPILED kernels on a real v5e chip (max |diff| = 0.0 vs pure JAX).
+
+MEASURED VERDICT (r2, one v5e, tools/check_pallas_tpu.py + the group-mode
+1080p pipeline): the Pallas ingest is ~4% SLOWER end-to-end (159.8 ms vs
+153.3 ms median) — these kernels materialize the encoded planes to HBM,
+while XLA fuses the same elementwise chain directly into the pad/tile/conv
+consumers with no intermediate round-trip. `use_pallas_ingest` therefore
+stays default-False; the kernels are kept as the Pallas reference path and
+for future shapes where XLA's fusion heuristics fall over.
 """
 
 from __future__ import annotations

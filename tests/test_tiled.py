@@ -162,6 +162,47 @@ def test_joint_pipeline_end_to_end():
     )
 
 
+def test_border_override_whole_frame_only():
+    """InferenceConfig.border shrinks the whole-frame reflect pad but is
+    IGNORED for tiled and spatially-sharded plans, where the certified halo
+    is a correctness requirement."""
+    cfg = tiny_cfg(in_channels=8, out_channels=6)
+    full = factory.halo(cfg)
+    g0 = pipeline.plan_for(cfg, InferenceConfig(tile=0, border=0), 64, 64)
+    assert g0.halo == 0 and g0.n_tiles == 1
+    g_big = pipeline.plan_for(cfg, InferenceConfig(tile=0, border=1000), 64, 64)
+    assert g_big.halo >= full  # border larger than the halo: canonical pad
+    gt = pipeline.plan_for(cfg, InferenceConfig(tile=32, border=0), 64, 64)
+    assert gt.halo >= full  # tiled: certified, border ignored
+    gs = pipeline.plan_for(
+        cfg, InferenceConfig(tile=0, border=0, spatial_shard=True), 64, 64
+    )
+    assert gs.halo >= full  # spatial bands: certified, border ignored
+
+    # interior equality: small-border whole frame matches canonical away
+    # from the border band
+    params = factory.init_params(cfg, jax.random.PRNGKey(0), spatial=32)
+    clean = synthetic.generate_clean_passes(64, 64, seed=21)
+    noisy = synthetic.add_mc_noise(clean, spp=8, seed=3)
+    d = {k: jnp.asarray(v) for k, v in noisy.items()}
+    cfgj = tiny_cfg(
+        in_channels=transforms.joint_input_channels(),
+        out_channels=transforms.joint_output_channels(),
+    )
+    pj = factory.init_params(cfgj, jax.random.PRNGKey(0), spatial=32)
+    den_canon, _ = pipeline.make_joint_frame_denoiser(
+        cfgj, InferenceConfig(tile=0, compute_dtype="float32"), 64, 64
+    )
+    den_b8, _ = pipeline.make_joint_frame_denoiser(
+        cfgj, InferenceConfig(tile=0, compute_dtype="float32", border=8), 64, 64
+    )
+    a = np.asarray(den_canon(pj, d)["combined"])
+    b = np.asarray(den_b8(pj, d)["combined"])
+    rf = factory.halo(cfgj)
+    np.testing.assert_allclose(a[rf:-rf, rf:-rf], b[rf:-rf, rf:-rf],
+                               rtol=1e-5, atol=1e-5)
+
+
 def test_joint_pipeline_flags_missing_groups():
     """Flag-conditioned inference (SURVEY.md C3): a frame lacking
     subsurface+transmission denoises through the same joint network —

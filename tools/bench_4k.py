@@ -35,9 +35,11 @@ def main() -> int:
     p.add_argument("--tile-batch", type=int, default=0,
                    help="chunk tiles through lax.map to bound HBM (banded mode)")
     p.add_argument("--halo", type=int, default=0,
-                   help="override the certified halo; in whole-frame mode "
-                        "this is just the reflect border pad (smaller = "
-                        "less work, slightly less border context)")
+                   help="override the certified halo (tiled modes)")
+    p.add_argument("--border", type=int, default=32,
+                   help="whole-frame reflect border; -1 = certified halo. "
+                        "32 measures quality-identical at 4K (see "
+                        "docs/STATUS_R2.md)")
     p.add_argument("--spp", type=float, default=4.0)
     args = p.parse_args()
 
@@ -58,7 +60,8 @@ def main() -> int:
         print("using release weights", file=sys.stderr)
 
     icfg = InferenceConfig(tile=args.tile, tile_batch=args.tile_batch,
-                           halo=args.halo, compute_dtype="bfloat16")
+                           halo=args.halo, border=args.border,
+                           compute_dtype="bfloat16")
     denoise, grid = pipeline.make_joint_frame_denoiser(FLAGSHIP, icfg, H, W)
     print(f"grid: {grid}", file=sys.stderr)
 
