@@ -80,6 +80,11 @@ class InferenceConfig:
     tile: int = 0  # core tile size; 0 = whole-frame (fastest when HBM fits)
     tile_batch: int = 0  # 0 = all tiles in one device batch
     halo: int = 0  # 0 = derive from the model's certified RF bound
+    # Tile stitching: 'exact' center-crop reassembly (bit-exact with the
+    # whole frame when halo >= the certified RF bound) or 'feather' cosine
+    # overlap blending (BASELINE config #2 "overlap blending"; pair with a
+    # small halo override for faster, approximately-seamless tiles).
+    stitch: str = "exact"
     # Whole-frame-mode border pad override (ignored when tiling or spatial
     # sharding, where the certified halo is a correctness requirement).
     # The certified bound (~131 px for the flagship) is worst-case; the

@@ -100,6 +100,7 @@ def make_group_frame_denoiser(
             frame_fn = tiled.make_tiled_apply(
                 apply_fn, grid, transforms.GROUP_OUTPUT_CHANNELS,
                 tile_batch=infer_cfg.tile_batch, batch_dims=1,
+                feather=infer_cfg.stitch == "feather",
             )
         # Encode all groups, stack along a leading batch axis. (With
         # stats-driven scales the pure-JAX encoder is used even when
@@ -191,7 +192,8 @@ def make_joint_frame_denoiser(
             dec = frame_fn(enc[None])[0]
         else:
             frame_fn = tiled.make_tiled_apply(
-                apply_fn, grid, out_ch, tile_batch=infer_cfg.tile_batch
+                apply_fn, grid, out_ch, tile_batch=infer_cfg.tile_batch,
+                feather=infer_cfg.stitch == "feather",
             )
             dec = frame_fn(enc)
 
@@ -229,7 +231,8 @@ def make_rgb_frame_denoiser(
     def denoise(params, pass_dict: Mapping[str, Array]) -> Dict[str, Array]:
         apply_fn = _make_apply(model_cfg, params, infer_cfg.compute_dtype)
         frame_fn = tiled.make_tiled_apply(
-            apply_fn, grid, 3, tile_batch=infer_cfg.tile_batch, batch_dims=0
+            apply_fn, grid, 3, tile_batch=infer_cfg.tile_batch, batch_dims=0,
+            feather=infer_cfg.stitch == "feather",
         )
         enc = transforms.encode_rgb_inputs(pass_dict, aux, albedo_key, scales=scales)
         out = frame_fn(enc)

@@ -167,6 +167,7 @@ def make_tiled_apply(
     out_channels: int,
     tile_batch: int = 0,
     batch_dims: int = 0,
+    feather: bool = False,
 ) -> Callable[[Array], Array]:
     """Build `f(frame) -> denoised frame` running apply_fn over the tile grid.
 
@@ -176,7 +177,16 @@ def make_tiled_apply(
     batch_dims=1 makes f accept (G, H, W, C) stacks (e.g. all pass-groups
       at once) and run them as one fused tile batch — bigger batches keep
       the MXU fed.
+    feather: cosine overlap blending instead of exact center-crop
+      stitching (InferenceConfig.stitch='feather'); with certified halos
+      both are whole-frame-exact, with smaller halos feathering degrades
+      gracefully. Not available in the HBM-bounded lazy path.
     """
+    if feather and batch_dims == 0 and tile_batch and tile_batch < grid.n_tiles:
+        raise ValueError("feathered stitching is unsupported in the "
+                         "HBM-bounded lazy-chunk mode (tile_batch with "
+                         "batch_dims=0); use exact stitching there")
+    stitch = stitch_tiles_feathered if feather else stitch_tiles
 
     def run_tiles(tiles: Array) -> Array:
         if tile_batch and tile_batch < tiles.shape[0]:
@@ -244,7 +254,7 @@ def make_tiled_apply(
 
         def f(frame: Array) -> Array:
             tiles = extract_tiles(frame, grid)
-            return stitch_tiles(run_tiles(tiles), grid)
+            return stitch(run_tiles(tiles), grid)
 
         return f
 
@@ -254,7 +264,7 @@ def make_tiled_apply(
         tiles = tiles.reshape(g * grid.n_tiles, grid.net_h, grid.net_w, -1)
         outs = run_tiles(tiles)
         outs = outs.reshape(g, grid.n_tiles, grid.net_h, grid.net_w, out_channels)
-        return jax.vmap(lambda t_: stitch_tiles(t_, grid))(outs)
+        return jax.vmap(lambda t_: stitch(t_, grid))(outs)
 
     return f_batched
 

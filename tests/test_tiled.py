@@ -162,6 +162,35 @@ def test_joint_pipeline_end_to_end():
     )
 
 
+def test_feathered_stitch_reachable_via_config():
+    """InferenceConfig.stitch='feather' (BASELINE config #2 'overlap
+    blending') runs through the pipeline. Feathering is inherently
+    APPROXIMATE with disjoint-core grids: at every overlap position exactly
+    one tile is RF-certified, so any non-step blend mixes in some
+    uncertified values (the step function IS the exact stitch). Assert the
+    blend stays close to the exact result."""
+    clean = synthetic.generate_clean_passes(48, 64, seed=17)
+    noisy = synthetic.add_mc_noise(clean, spp=16, seed=5)
+    cfg = tiny_cfg(
+        in_channels=transforms.joint_input_channels(),
+        out_channels=transforms.joint_output_channels(),
+    )
+    params = factory.init_params(cfg, jax.random.PRNGKey(0), spatial=32)
+    d = {k: jnp.asarray(v) for k, v in noisy.items()}
+    den_feather, _ = pipeline.make_joint_frame_denoiser(
+        cfg, InferenceConfig(tile=32, compute_dtype="float32",
+                             stitch="feather"), 48, 64
+    )
+    den_exact, _ = pipeline.make_joint_frame_denoiser(
+        cfg, InferenceConfig(tile=32, compute_dtype="float32"), 48, 64
+    )
+    a = np.asarray(den_feather(params, d)["combined"])
+    b = np.asarray(den_exact(params, d)["combined"])
+    diff = np.abs(a - b)
+    assert diff.max() < 0.1, diff.max()      # HDR units; random-init net
+    assert diff.mean() < 2e-3, diff.mean()
+
+
 def test_border_override_whole_frame_only():
     """InferenceConfig.border shrinks the whole-frame reflect pad but is
     IGNORED for tiled and spatially-sharded plans, where the certified halo
