@@ -65,6 +65,53 @@ def make_sequence_denoiser(
     return run, grid
 
 
+def make_batch_frame_denoiser(
+    model_cfg: ModelConfig,
+    infer_cfg: InferenceConfig,
+    mesh,
+    height: int,
+    width: int,
+    mode: str = "joint",
+    scales=None,
+):
+    """Data-parallel animation-BATCH denoising (BASELINE config #5 at
+    multi-chip scale): a batch of frames, sharded over the mesh 'data'
+    axis, each chip running the full whole-frame pipeline on its shard —
+    zero cross-chip communication, N-chip frame throughput.
+
+    Returns jitted fn(params, batch_pass_dict) -> (N, H, W, 3) combined,
+    where every pass in batch_pass_dict has a leading batch axis divisible
+    by the mesh size. Complements spatial_shard (which splits ONE frame
+    across chips for latency; this splits MANY frames for throughput).
+    """
+    from jax.sharding import PartitionSpec as P
+
+    if mode == "joint":
+        den, grid = pipeline.make_joint_frame_denoiser(
+            model_cfg, infer_cfg, height, width, scales=scales
+        )
+    elif mode == "group":
+        den, grid = pipeline.make_group_frame_denoiser(
+            model_cfg, infer_cfg, height, width, scales=scales
+        )
+    else:
+        den, grid = pipeline.make_rgb_frame_denoiser(
+            model_cfg, infer_cfg, height, width, scales=scales
+        )
+
+    def local(params, batch: Mapping[str, Array]) -> Array:
+        return jax.vmap(lambda f: den(params, f)["combined"])(dict(batch))
+
+    sharded = jax.shard_map(
+        local,
+        mesh=mesh,
+        in_specs=(P(), P("data")),
+        out_specs=P("data"),
+        check_vma=False,
+    )
+    return jax.jit(sharded), grid
+
+
 def run_sequence(
     model_cfg: ModelConfig,
     infer_cfg: InferenceConfig,

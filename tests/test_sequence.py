@@ -48,3 +48,36 @@ def test_evaluate_render_root(tmp_path):
     )
     assert report["n_frames"] == 2
     assert np.isfinite(report["psnr_mean"])
+
+
+def test_batch_frame_denoiser_dp(devices8):
+    """Multi-chip frame-batch throughput mode: 8 frames sharded over an
+    8-device 'data' mesh match the per-frame serial pipeline exactly."""
+    import jax.numpy as jnp
+
+    from deepdenoiser_tpu.inference import pipeline
+    from deepdenoiser_tpu.parallel import mesh as M
+
+    cfg = ModelConfig(backbone="unet", in_channels=transforms.joint_input_channels(),
+                      out_channels=transforms.joint_output_channels(),
+                      base_width=4, depth=1, convs_per_level=1)
+    params = factory.init_params(cfg, jax.random.PRNGKey(0), spatial=32)
+    icfg = InferenceConfig(tile=0, compute_dtype="float32")
+    clean = synthetic.generate_clean_passes(32, 48, seed=60)
+    frames = [synthetic.add_mc_noise(clean, spp=4, seed=i) for i in range(8)]
+    batch = {
+        k: jnp.stack([jnp.asarray(f[k]) for f in frames])
+        for k in frames[0]
+    }
+
+    mesh = M.make_mesh(8)
+    den_b, _ = sequence.make_batch_frame_denoiser(cfg, icfg, mesh, 32, 48)
+    got = np.asarray(den_b(params, M.shard_batch(batch, mesh)))
+    assert got.shape == (8, 32, 48, 3)
+
+    den_1, _ = pipeline.make_joint_frame_denoiser(cfg, icfg, 32, 48)
+    for i in range(8):
+        want = np.asarray(
+            den_1(params, {k: jnp.asarray(frames[i][k]) for k in frames[i]})["combined"]
+        )
+        np.testing.assert_allclose(got[i], want, rtol=1e-5, atol=1e-5)
