@@ -92,3 +92,13 @@ def test_batch_render_command_construction(monkeypatch):
     assert script_args.out == "/data/out/kitchen_f0005"
     assert script_args.frame == 5
     assert script_args.gt_spp == 4096 and script_args.spp == [4, 16]
+
+
+def test_addon_importable_without_bpy():
+    """The add-on file (C19's UI half) imports cleanly outside Blender and
+    shares render_passes' pass table (single source of truth)."""
+    import addon
+
+    assert addon.bpy is None  # no Blender here
+    assert addon.PASS_TOGGLES is render_passes.PASS_TOGGLES
+    assert addon.bl_info["category"] == "Render"
