@@ -90,8 +90,13 @@ class DenoiserModel(nn.Module):
                 layers_per_block=cfg.layers_per_block,
                 depth=cfg.depth,
                 act=cfg.act,
+                stem_stride=cfg.stem_stride,
             )
-            backbone = Tiramisu(tspec, out_ch, dtype=cfg.dtype)
+            backbone = Tiramisu(
+                tspec, out_ch,
+                head_zero_init=cfg.predict_residual and not cfg.kernel_prediction,
+                dtype=cfg.dtype,
+            )
         else:
             raise ValueError(f"unknown backbone {cfg.backbone!r}")
 
@@ -152,7 +157,7 @@ def _backbone_spec(cfg: ModelConfig):
     if cfg.backbone == "tiramisu":
         return TiramisuSpec(
             growth_rate=cfg.growth_rate, layers_per_block=cfg.layers_per_block,
-            depth=cfg.depth, act=cfg.act,
+            depth=cfg.depth, act=cfg.act, stem_stride=cfg.stem_stride,
         )
     raise ValueError(f"unknown backbone {cfg.backbone!r}")
 

@@ -29,9 +29,15 @@ class TiramisuSpec:
     stem_width: int = 48
     kernel: int = 3
     act: str = "relu"
+    # 2 = space-to-depth stem (the UNet latency lever applied to the
+    # Tiramisu): the whole dense stack runs at half resolution — ~4x fewer
+    # full-res conv FLOPs, pixel-shuffle in/out.
+    stem_stride: int = 1
 
     def rf_state(self, s: RFState = RFState()) -> RFState:
         k, n = self.kernel, self.layers_per_block
+        if self.stem_stride == 2:
+            s = s.pool(2)  # space-to-depth window
         s = s.conv(k)  # stem
         for _ in range(n):  # entry dense block
             s = s.conv(k)
@@ -43,6 +49,8 @@ class TiramisuSpec:
             s = s.upsample(2).conv(k)  # transition up conv
             for _ in range(n):
                 s = s.conv(k)
+        if self.stem_stride == 2:
+            s = s.upsample(2)  # depth-to-space
         return s
 
     def receptive_field(self) -> int:
@@ -50,7 +58,7 @@ class TiramisuSpec:
 
     @property
     def spatial_multiple(self) -> int:
-        return 2**self.depth
+        return 2**self.depth * self.stem_stride
 
 
 class DenseBlock(nn.Module):
@@ -78,6 +86,7 @@ class DenseBlock(nn.Module):
 class Tiramisu(nn.Module):
     spec: TiramisuSpec
     out_channels: int
+    head_zero_init: bool = False  # exact-identity start for residual mode
     dtype: Any = jnp.float32
     param_dtype: Any = jnp.float32
 
@@ -91,6 +100,8 @@ class Tiramisu(nn.Module):
             f"Tiramisu input {h}x{w} must be divisible by {m}; pad tiles first"
         )
         x = x.astype(self.dtype)
+        if spec.stem_stride == 2:
+            x = layers.space_to_depth(x, 2)
 
         db = lambda t: DenseBlock(  # noqa: E731
             spec.growth_rate, spec.layers_per_block, spec.kernel, spec.act, **kw
@@ -116,7 +127,11 @@ class Tiramisu(nn.Module):
             x = jnp.concatenate([x, skip], axis=-1)
             x = jnp.concatenate([x, db(x)], axis=-1)
 
-        out = nn.Conv(
-            self.out_channels, (1, 1), dtype=self.dtype, param_dtype=self.param_dtype
-        )(x)
+        head_ch = self.out_channels * (spec.stem_stride**2)
+        head_kw = dict(dtype=self.dtype, param_dtype=self.param_dtype)
+        if self.head_zero_init:
+            head_kw["kernel_init"] = nn.initializers.zeros
+        out = nn.Conv(head_ch, (1, 1), **head_kw)(x)
+        if spec.stem_stride == 2:
+            out = layers.depth_to_space(out, 2)
         return out.astype(jnp.float32)

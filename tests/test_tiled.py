@@ -288,6 +288,8 @@ def test_joint_encode_decode_identity():
     dict(stem_stride=2),                      # the flagship's stem
     dict(n_scales=2, depth=1),                # multi-scale composition
     dict(stem_stride=2, depth=1, n_scales=2), # both
+    dict(backbone="tiramisu", depth=1, layers_per_block=2,
+         growth_rate=4, stem_stride=2),       # tiramisu + s2d stem (r2)
 ])
 def test_tiled_equals_whole_advanced_archs(kw):
     """Seam-free exactness holds for the architectures that shift RF

@@ -116,16 +116,23 @@ def main() -> int:
                   for k, v in families["train-family"][0][0].items()}
         s = den_only(params, frame0, jnp.zeros(()))
         float(s)
-        t0 = time.perf_counter()
         s = den_only(params, frame0, s * 1e-30)
         float(s)
-        t1 = time.perf_counter() - t0
-        t0 = time.perf_counter()
-        for _ in range(args.chain):
+        # median of 5 chain samples: single (t1, tk) pairs occasionally
+        # catch multi-second tunnel stalls (MEMORY tpu-env-facts)
+        samples = []
+        for _ in range(5):
+            t0 = time.perf_counter()
             s = den_only(params, frame0, s * 1e-30)
-        float(s)
-        tk = time.perf_counter() - t0
-        lat_ms = 1e3 * (tk - t1) / (args.chain - 1)
+            float(s)
+            t1 = time.perf_counter() - t0
+            t0 = time.perf_counter()
+            for _ in range(args.chain):
+                s = den_only(params, frame0, s * 1e-30)
+            float(s)
+            tk = time.perf_counter() - t0
+            samples.append(1e3 * (tk - t1) / (args.chain - 1))
+        lat_ms = float(np.median(samples))
 
         row = {"model": name, "mode": mode, "latency_ms": round(lat_ms, 1)}
         for fam, frames in families.items():
