@@ -26,27 +26,32 @@ def apply_per_pixel_kernels(noisy: Array, weights: Array, kernel_size: int) -> A
 
     Weights are applied to every channel of `noisy` (one spatial kernel
     shared across channels, as in KPCN).
+
+    Implemented as SHIFT-ACCUMULATE: out = Σ_{dy,dx} shifted(noisy) ⊙
+    w[dy,dx] over the zero-padded plane — a static k² loop of fused
+    elementwise multiply-adds in fp32. Identical math to im2col+einsum but
+    with O(1) extra memory; the previous conv_general_dilated_patches
+    formulation materialized an (N,H,W,C·k²) patch tensor (~3.5 GB fp32 for
+    a 4-group 1080p stack at k=5) which stalled whole-frame compiles.
     """
     n, h, w, c = noisy.shape
-    k2 = kernel_size * kernel_size
+    k = kernel_size
+    k2 = k * k
     assert weights.shape == (n, h, w, k2), (weights.shape, (n, h, w, k2))
-    pad = kernel_size // 2
-    # Patches: output channel layout is C * k * k ("channels-first" over the
-    # patch dims: index = c * k2 + dy * k + dx) with feature_group_count=C.
-    patches = jax.lax.conv_general_dilated_patches(
-        noisy,
-        filter_shape=(kernel_size, kernel_size),
-        window_strides=(1, 1),
-        padding=((pad, pad), (pad, pad)),
-        dimension_numbers=("NHWC", "HWIO", "NHWC"),
-        precision=jax.lax.Precision.HIGHEST,  # identity extraction must be exact
+    pad = k // 2
+    # zero padding matches the patch extractor's SAME semantics exactly
+    padded = jnp.pad(
+        noisy.astype(jnp.float32), ((0, 0), (pad, pad), (pad, pad), (0, 0))
     )
-    patches = patches.reshape(n, h, w, c, k2)
-    # HIGHEST precision: the filter application must not round through bf16,
-    # or convex-combination identities (and PSNR parity) break.
-    return jnp.einsum(
-        "nhwck,nhwk->nhwc", patches, weights, precision=jax.lax.Precision.HIGHEST
-    )
+    wf = weights.astype(jnp.float32)
+    out = jnp.zeros((n, h, w, c), jnp.float32)
+    for dy in range(k):
+        for dx in range(k):
+            out = out + (
+                padded[:, dy : dy + h, dx : dx + w, :]
+                * wf[..., dy * k + dx : dy * k + dx + 1]
+            )
+    return out
 
 
 class KernelPredictionHead(nn.Module):
