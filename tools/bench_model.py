@@ -29,6 +29,7 @@ def main() -> int:
     p.add_argument("--model", required=True)
     p.add_argument("--border", type=int, default=32)
     p.add_argument("--tile", type=int, default=0)
+    p.add_argument("--tile-batch", type=int, default=0)
     p.add_argument("--chain", type=int, default=8)
     p.add_argument("--samples", type=int, default=5)
     args = p.parse_args()
@@ -40,8 +41,8 @@ def main() -> int:
     from tools.eval_zoo import load_model_params
 
     mcfg, params, mode = load_model_params(args.model)
-    icfg = InferenceConfig(tile=args.tile, compute_dtype="bfloat16",
-                           border=args.border)
+    icfg = InferenceConfig(tile=args.tile, tile_batch=args.tile_batch,
+                           compute_dtype="bfloat16", border=args.border)
     if mode == "joint":
         denoise, grid = pipeline.make_joint_frame_denoiser(mcfg, icfg, H, W)
     else:

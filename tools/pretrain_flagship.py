@@ -62,10 +62,18 @@ TIRAMISU_S2D = ModelConfig(
     layers_per_block=4, depth=3, act="leaky_relu", stem_stride=2,
     compute_dtype="bfloat16", predict_residual=True,
 )
+# Control for the tiramisu finding: is the ~8 dB win density, or just
+# FULL-RESOLUTION processing (no s2d stem discarding detail)?
+UNET_FULLRES = ModelConfig(
+    backbone="unet", in_channels=transforms.joint_input_channels(),
+    out_channels=transforms.joint_output_channels(), base_width=64, depth=3,
+    convs_per_level=2, stem_stride=1, act="leaky_relu",
+    compute_dtype="bfloat16", predict_residual=True,
+)
 MODELS = {
     "flagship": FLAGSHIP, "rgb-small": RGB_SMALL,
     "multiscale": MULTISCALE, "tiramisu": TIRAMISU, "kpn": KPN,
-    "tiramisu-s2d": TIRAMISU_S2D,
+    "tiramisu-s2d": TIRAMISU_S2D, "unet-fullres": UNET_FULLRES,
 }
 from deepdenoiser_tpu.data import synthetic_jax
 from deepdenoiser_tpu.ops.losses import LossConfig
