@@ -47,8 +47,8 @@ def main() -> int:
         denoise, grid = pipeline.make_joint_frame_denoiser(mcfg, icfg, H, W)
     else:
         denoise, grid = pipeline.make_group_frame_denoiser(mcfg, icfg, H, W)
-    print(f"{args.model}: grid {grid.net_h}x{grid.net_w} mode={mode}",
-          file=sys.stderr, flush=True)
+    print(f"{args.model}: grid {grid.net_h}x{grid.net_w} mode={mode} "
+          f"device={jax.devices()[0]}", file=sys.stderr, flush=True)
 
     clean = synthetic.generate_clean_passes(H, W, seed=0)
     noisy = synthetic.add_mc_noise(clean, spp=4, seed=1)

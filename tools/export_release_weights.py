@@ -19,10 +19,6 @@ from pathlib import Path
 sys.path.insert(0, str(Path(__file__).resolve().parents[1]))
 
 import jax
-
-# weight surgery needs no TPU; CPU avoids remote compiles for the template init
-jax.config.update("jax_platforms", "cpu")
-
 import numpy as np
 
 
@@ -56,6 +52,12 @@ def load_release_params(path):
 
 
 def main() -> int:
+    # Weight surgery needs no TPU; CPU avoids remote compiles for the
+    # template init. ONLY when run as a script: setting this at module
+    # import silently switched IMPORTERS' "TPU" benchmarks onto the host
+    # CPU whenever the import preceded first device use (r2 post-mortem —
+    # the zoo latency numbers measured ~500x slow because of this).
+    jax.config.update("jax_platforms", "cpu")
     p = argparse.ArgumentParser(description=__doc__)
     p.add_argument("--ckpt", default="checkpoints/flagship")
     p.add_argument("--out", default="weights/flagship_ema_f16.npz")
