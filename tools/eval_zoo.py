@@ -65,6 +65,7 @@ def main() -> int:
     p.add_argument("--spp", type=int, default=4)
     p.add_argument("--chain", type=int, default=6)
     args = p.parse_args()
+    args.chain = max(args.chain, 2)  # (tk - t1)/(chain - 1) needs chain >= 2
 
     from deepdenoiser_tpu.config import InferenceConfig
     from deepdenoiser_tpu.data import synthetic, synthetic_holdout
