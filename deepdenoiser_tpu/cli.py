@@ -182,7 +182,8 @@ def build_parser() -> argparse.ArgumentParser:
 
     def common(sp):
         sp.add_argument("--config", help="experiment config JSON")
-        sp.add_argument("--preset", choices=["flagship", "flagship-flags",
+        sp.add_argument("--preset", choices=["flagship", "flagship-hq",
+                                             "flagship-max", "flagship-flags",
                                              "unet-small", "unet-multiscale",
                                              "tiramisu", "kpn"])
 

@@ -177,6 +177,34 @@ PRESETS: Dict[str, ExperimentConfig] = {
         train=TrainConfig(ema_decay=0.999),
         infer=InferenceConfig(border=32),
     ),
+    # r2 quality ladder (see docs/STATUS_R2.md): full-resolution processing
+    # beats s2d stems by 4-8 dB on this task.
+    # flagship-hq: stride-1 UNet — 71 ms / 1080p frame, +9.9 dB, SSIM .84
+    # (the best quality under the <100 ms north star).
+    "flagship-hq": ExperimentConfig(
+        name="flagship-hq",
+        model=ModelConfig(
+            backbone="unet", base_width=64, depth=3, convs_per_level=2,
+            stem_stride=1, compute_dtype="bfloat16", predict_residual=True,
+            act="leaky_relu",
+        ),
+        data=DataConfig(mode="joint"),
+        train=TrainConfig(ema_decay=0.999),
+        infer=InferenceConfig(border=32),
+    ),
+    # flagship-max: KPCN kernel prediction — the quality ceiling
+    # (+14.2 dB, SSIM .93 at 335 ms; group mode, applied per light group).
+    "flagship-max": ExperimentConfig(
+        name="flagship-max",
+        model=ModelConfig(
+            backbone="unet", base_width=48, depth=3, convs_per_level=2,
+            kernel_prediction=True, kpn_size=5, kpn_slots=2,
+            compute_dtype="bfloat16", act="leaky_relu",
+        ),
+        data=DataConfig(mode="group"),
+        train=TrainConfig(ema_decay=0.999),
+        infer=InferenceConfig(border=32),
+    ),
     "unet-small": ExperimentConfig(
         name="unet-small",
         model=ModelConfig(backbone="unet", base_width=32, depth=3, n_scales=1),
@@ -185,17 +213,25 @@ PRESETS: Dict[str, ExperimentConfig] = {
         name="unet-multiscale",
         model=ModelConfig(backbone="unet", base_width=48, depth=3, n_scales=3),
     ),
+    # FC-DenseNet: +13.4 dB / SSIM .92 at 219 ms (HBM-traffic-bound; see
+    # STATUS_R2 findings).
     "tiramisu": ExperimentConfig(
         name="tiramisu",
         model=ModelConfig(
-            backbone="tiramisu", growth_rate=16, layers_per_block=4, depth=3
+            backbone="tiramisu", growth_rate=16, layers_per_block=4, depth=3,
+            compute_dtype="bfloat16", predict_residual=True, act="leaky_relu",
         ),
+        data=DataConfig(mode="joint"),
+        train=TrainConfig(ema_decay=0.999),
+        infer=InferenceConfig(border=32),
     ),
     "kpn": ExperimentConfig(
         name="kpn",
         model=ModelConfig(
             backbone="unet", base_width=48, depth=3, kernel_prediction=True,
-            kpn_size=5, kpn_slots=2,
+            kpn_size=5, kpn_slots=2, compute_dtype="bfloat16", act="leaky_relu",
         ),
+        data=DataConfig(mode="group"),
+        train=TrainConfig(ema_decay=0.999),
     ),
 }
