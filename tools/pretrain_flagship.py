@@ -74,6 +74,9 @@ MODELS = {
     "flagship": FLAGSHIP, "rgb-small": RGB_SMALL,
     "multiscale": MULTISCALE, "tiramisu": TIRAMISU, "kpn": KPN,
     "tiramisu-s2d": TIRAMISU_S2D, "unet-fullres": UNET_FULLRES,
+    # the shipped 150k-step production-quality model (config PRESETS
+    # 'flagship-hq'): same arch as unet-fullres
+    "flagship-hq": UNET_FULLRES,
 }
 from deepdenoiser_tpu.data import synthetic_jax
 from deepdenoiser_tpu.ops.losses import LossConfig
