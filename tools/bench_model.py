@@ -21,12 +21,12 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-H, W = 1080, 1920
-
 
 def main() -> int:
     p = argparse.ArgumentParser(description=__doc__)
     p.add_argument("--model", required=True)
+    p.add_argument("--height", type=int, default=1080)
+    p.add_argument("--width", type=int, default=1920)
     p.add_argument("--border", type=int, default=32)
     p.add_argument("--tile", type=int, default=0)
     p.add_argument("--tile-batch", type=int, default=0)
@@ -40,6 +40,7 @@ def main() -> int:
     from deepdenoiser_tpu.ops import metrics
     from tools.eval_zoo import load_model_params
 
+    H, W = args.height, args.width
     mcfg, params, mode = load_model_params(args.model)
     icfg = InferenceConfig(tile=args.tile, tile_batch=args.tile_batch,
                            compute_dtype="bfloat16", border=args.border)
