@@ -38,6 +38,10 @@ def main() -> int:
     p.add_argument("--tile", type=int, default=0)
     p.add_argument("--tile-batch", type=int, default=0)
     p.add_argument("--chain", type=int, default=8)
+    p.add_argument("--measured-ms", type=float, default=0.0,
+                   help="externally measured latency (bench.py / "
+                        "bench_model.py); overrides the inline chain, which "
+                        "under-measures at small sizes on the tunneled TPU")
     args = p.parse_args()
 
     from __graft_entry__ import FLAGSHIP
@@ -86,6 +90,8 @@ def main() -> int:
     float(s)
     tk = time.perf_counter() - t0
     sec = max((tk - t1) / (args.chain - 1), 1e-9)
+    if args.measured_ms > 0:
+        sec = args.measured_ms / 1e3
 
     peak = PEAK_FLOPS["bfloat16"]
     ai = flops / max(bytes_hbm, 1.0)
