@@ -1,12 +1,28 @@
-"""On-device synthetic pass-set generator (JAX twin of synthetic.py).
+"""On-device synthetic pass-set generators (JAX twins of synthetic.py).
 
 Purpose: data-free-from-the-host training. Generating training batches
 INSIDE the jitted step removes the host->device feed entirely — on a
 tunneled TPU (slow PCIe/relay link, see MEMORY tpu-env-facts) the input
-pipeline would otherwise dominate the step time. Same construction as
-data/synthetic.py: band-limited random Fourier fields, recomposition-
-consistent pass sets, spp-scaled signal-proportional Monte-Carlo noise —
-but keyed by jax.random so every batch is fresh and deterministic in key.
+pipeline would otherwise dominate the step time. Keyed by jax.random so
+every batch is fresh and deterministic in key.
+
+TWO structurally different signal families (the round-2 holdout study
+showed single-family training memorizes that family's statistics):
+
+  * Fourier:  band-limited random sinusoid fields — smooth, globally
+    correlated signal (generate_clean_passes, same as data/synthetic.py);
+  * Voronoi:  piecewise-constant albedo cells with hard edges, per-cell
+    planar depth, directional light + penumbra shadow + blurred bounce
+    (generate_voronoi_passes — the JAX twin of the round-2 holdout family
+    data/synthetic_holdout.py, promoted into training for round 3).
+
+Both share the recomposition identity and the same spp-scaled signal-
+proportional MC noise model. `randomize_scene` adds scene-scale (depth)
+and exposure (radiance) randomization so normalizers see varied absolute
+scales. `training_batch(..., family='mixed')` interleaves the families.
+
+The UNTOUCHED holdout for quality reporting is now the third family,
+data/synthetic_spheres.py (eval-only; never imported here).
 
 Used by tools/pretrain_flagship.py and the training-throughput bench.
 """
@@ -81,6 +97,135 @@ def _recompose(d: Dict[str, Array], groups) -> Array:
     return acc
 
 
+def _box_blur(x: Array, r: int) -> Array:
+    """Separable box blur with edge clamping via cumulative sums (h, w, c).
+
+    JAX twin of synthetic_holdout._box_blur; `r` is static."""
+    if r <= 0:
+        return x
+    out = x
+    for axis in (0, 1):
+        n = out.shape[axis]
+        pad = [(0, 0)] * out.ndim
+        pad[axis] = (r + 1, r)
+        p = jnp.pad(out, pad, mode="edge")
+        c = jnp.cumsum(p, axis=axis)
+        hi = jax.lax.slice_in_dim(c, 2 * r + 1, 2 * r + 1 + n, axis=axis)
+        lo = jax.lax.slice_in_dim(c, 0, n, axis=axis)
+        out = (hi - lo) / (2 * r + 1)
+    return out
+
+
+def generate_voronoi_passes(
+    key: Array, h: int, w: int,
+    groups: Sequence[str] = LIGHT_GROUPS, n_cells: int = 16,
+    light_scale: float = 4.0,
+) -> Dict[str, Array]:
+    """Voronoi-cell scene family, recomposition-consistent (JAX twin of
+    data/synthetic_holdout.generate_clean_passes; structure documented
+    there). Promoted from holdout to TRAINING in round 3."""
+    out: Dict[str, Array] = {}
+    key, ks = jax.random.split(key)
+    sites = jax.random.uniform(ks, (n_cells, 2)) * jnp.asarray([h, w], jnp.float32)
+    yy = jnp.arange(h, dtype=jnp.float32)[:, None]
+    xx = jnp.arange(w, dtype=jnp.float32)[None, :]
+    d2 = (yy[..., None] - sites[:, 0]) ** 2 + (xx[..., None] - sites[:, 1]) ** 2
+    labels = jnp.argmin(d2, axis=-1)  # (h, w) int
+
+    # --- geometry: per-cell base normals + blurred-noise bump texture ----
+    key, kn, kb = jax.random.split(key, 3)
+    base_n = jax.random.normal(kn, (n_cells, 3))
+    base_n = base_n.at[:, 2].set(jnp.abs(base_n[:, 2]) + 1.5)
+    base_n = base_n / jnp.linalg.norm(base_n, axis=-1, keepdims=True)
+    bump = _box_blur(jax.random.normal(kb, (h, w, 3)), 1)
+    n = base_n[labels] + 0.15 * bump
+    n = n / jnp.maximum(jnp.linalg.norm(n, axis=-1, keepdims=True), 1e-6)
+    out["normal"] = n
+
+    # per-cell planar depth: discontinuities at cell borders
+    key, kd0, kgy, kgx = jax.random.split(key, 4)
+    yyn = jnp.linspace(-0.5, 0.5, h)[:, None]
+    xxn = jnp.linspace(-0.5, 0.5, w)[None, :]
+    d0 = jax.random.uniform(kd0, (n_cells,), minval=2.0, maxval=30.0)
+    gy = jax.random.uniform(kgy, (n_cells,), minval=-8.0, maxval=8.0)
+    gx = jax.random.uniform(kgx, (n_cells,), minval=-8.0, maxval=8.0)
+    depth = d0[labels] + gy[labels] * yyn + gx[labels] * xxn
+    out["depth"] = jnp.maximum(depth, 0.05)[..., None]
+
+    key, ka = jax.random.split(key)
+    see_through = jax.random.uniform(ka, (n_cells,)) < 0.12
+    alpha = 1.0 - 0.6 * see_through[labels].astype(jnp.float32)
+    out["alpha"] = jnp.clip(_box_blur(alpha[..., None], 2), 0.0, 1.0)
+
+    # --- illumination: directional lambert + penumbra shadow + bounce ----
+    key, kl, ko, kc = jax.random.split(key, 4)
+    light = jax.random.normal(kl, (3,))
+    light = light.at[2].set(jnp.abs(light[2]) + 1.0)
+    light = light / jnp.linalg.norm(light)
+    lambert = jnp.maximum((n * light).sum(-1), 0.0)[..., None]
+    sy_sx = jax.random.normal(ko, (2,))
+    c = jax.random.uniform(kc, (), minval=-0.2, maxval=0.2)
+    occluded = ((sy_sx[0] * yyn + sy_sx[1] * xxn + c) > 0).astype(jnp.float32)
+    penumbra = max(3, min(h, w) // 24)
+    vis = 1.0 - 0.85 * _box_blur(occluded[..., None], penumbra)
+    bounce = _box_blur(lambert, max(4, min(h, w) // 12))
+
+    # --- per-group albedo + radiance -------------------------------------
+    for g in groups:
+        d_name, i_name, c_name = passes.group_passes(g)
+        key, kcc, kdk, ktd, kti, kin = jax.random.split(key, 6)
+        cell_col = jax.random.uniform(kcc, (n_cells, 3), minval=0.05, maxval=0.95)
+        dark = jax.random.uniform(kdk, (n_cells, 1)) < 0.1
+        cell_col = jnp.where(dark, cell_col * 0.01, cell_col)
+        out[c_name] = cell_col[labels]
+        tint_d = jax.random.uniform(ktd, (3,), minval=0.5, maxval=1.5)
+        tint_i = jax.random.uniform(kti, (3,), minval=0.2, maxval=0.8)
+        intensity = light_scale * jax.random.uniform(kin, (), minval=0.3, maxval=1.0)
+        out[d_name] = intensity * lambert * vis * tint_d
+        out[i_name] = 0.5 * intensity * bounce * tint_i
+
+    # --- emission / environment ------------------------------------------
+    key, ke, kec, kst, ksb = jax.random.split(key, 5)
+    emissive = jax.random.uniform(ke, (n_cells, 1)) < 0.08
+    em_col = jax.random.uniform(kec, (n_cells, 3), minval=0.5, maxval=3.0)
+    em_col = jnp.where(emissive, em_col, 0.0)
+    out["emission"] = em_col[labels]
+    sky_top = jax.random.uniform(kst, (3,), minval=0.02, maxval=0.3)
+    sky_bot = jax.random.uniform(ksb, (3,), maxval=0.1)
+    t = jnp.linspace(0.0, 1.0, h)[:, None, None]
+    out["environment"] = jnp.broadcast_to(
+        (1 - t) * sky_top + t * sky_bot, (h, w, 3)
+    )
+    out["combined"] = _recompose(out, groups)
+    return out
+
+
+def randomize_scene(
+    key: Array, clean: Dict[str, Array],
+    groups: Sequence[str] = LIGHT_GROUPS,
+) -> Dict[str, Array]:
+    """Scene-scale + exposure randomization (round-3 generalization lever).
+
+    Radiance passes (direct/indirect/emission/environment/combined) share
+    one exposure factor 2^U(-2,2); depth gets an independent scale
+    2^U(-2,2). Recomposition is linear in radiance at fixed color, so
+    scaling `combined` by the same factor preserves the identity exactly.
+    """
+    ke, kz = jax.random.split(key)
+    exposure = 2.0 ** jax.random.uniform(ke, (), minval=-2.0, maxval=2.0)
+    zscale = 2.0 ** jax.random.uniform(kz, (), minval=-2.0, maxval=2.0)
+    out = {}
+    for name, x in clean.items():
+        p = passes.get(name)
+        if p.kind is passes.PassKind.RADIANCE:
+            out[name] = x * exposure
+        elif p.kind is passes.PassKind.DEPTH:
+            out[name] = x * zscale
+        else:
+            out[name] = x
+    return out
+
+
 def add_mc_noise(
     key: Array, clean: Dict[str, Array], spp: float,
     groups: Sequence[str] = LIGHT_GROUPS, base_sigma: float = 1.0,
@@ -103,20 +248,28 @@ def add_mc_noise(
     return noisy
 
 
-@functools.partial(jax.jit, static_argnums=(1, 2, 3))
+@functools.partial(jax.jit, static_argnums=(1, 2, 3, 4))
 def training_batch(
-    key: Array, batch: int, crop: int, mode: str = "joint"
+    key: Array, batch: int, crop: int, mode: str = "joint",
+    family: str = "fourier",
 ) -> Dict[str, Array]:
     """(key, n, s) -> {'x','y'} encoded training batch, fully on device.
 
     One fresh scene per example (crop-sized fields), one noisy realization
     at a random spp in [2, 64] — matching the host pipeline's encode
-    semantics (data/loader.py make_batch_encoder)."""
+    semantics (data/loader.py make_batch_encoder).
+
+    `family`: 'fourier' (round-1/2 behavior, no scene randomization, so old
+    checkpoints/benches reproduce), 'voronoi', or 'mixed' — the round-3
+    corpus: half Fourier + half Voronoi, both scene-scale/exposure
+    randomized (randomize_scene)."""
     from deepdenoiser_tpu import transforms
 
-    def one(k):
-        k1, k2, k3 = jax.random.split(k, 3)
-        clean = generate_clean_passes(k1, crop, crop)
+    def one(k, gen, rand):
+        k1, k2, k3, k4 = jax.random.split(k, 4)
+        clean = gen(k1, crop, crop)
+        if rand:
+            clean = randomize_scene(k4, clean)
         spp = 2.0 ** jax.random.uniform(k2, (), minval=1.0, maxval=6.0)
         noisy = add_mc_noise(k3, clean, spp)
         if mode == "joint":
@@ -143,4 +296,18 @@ def training_batch(
             y = transforms.normalize("combined", clean["combined"])
         return {"x": x, "y": y}
 
-    return jax.vmap(one)(jax.random.split(key, batch))
+    keys = jax.random.split(key, batch)
+    if family == "fourier":
+        return jax.vmap(lambda k: one(k, generate_clean_passes, False))(keys)
+    if family == "voronoi":
+        return jax.vmap(lambda k: one(k, generate_voronoi_passes, True))(keys)
+    if family == "mixed":
+        n_v = batch // 2
+        if n_v == 0:
+            return jax.vmap(lambda k: one(k, generate_clean_passes, True))(keys)
+        four = jax.vmap(lambda k: one(k, generate_clean_passes, True))(keys[n_v:])
+        vor = jax.vmap(lambda k: one(k, generate_voronoi_passes, True))(keys[:n_v])
+        return jax.tree.map(
+            lambda a, b: jnp.concatenate([a, b], axis=0), four, vor
+        )
+    raise ValueError(f"unknown family {family!r}")

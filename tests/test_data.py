@@ -86,3 +86,34 @@ def test_synthetic_jax_consistency():
         b = sj.training_batch(jax.random.PRNGKey(2), 2, 16, mode)
         assert b["y"].shape[-1] == cout, mode
         assert bool(jnp.isfinite(b["x"]).all())
+
+
+def test_synthetic_jax_voronoi_and_mixed():
+    """Round-3 training corpus: on-device Voronoi family + scene
+    randomization keep the recomposition identity; mixed batches are
+    finite, deterministic in key, and family-diverse."""
+    import jax
+    import jax.numpy as jnp
+
+    from deepdenoiser_tpu import transforms
+    from deepdenoiser_tpu.data import synthetic_jax as sj
+
+    clean = sj.generate_voronoi_passes(jax.random.PRNGKey(0), 24, 32)
+    assert set(clean) == set(passes.ALL_PASSES)
+    rec = transforms.recompose({k: v for k, v in clean.items() if k != "combined"})
+    assert float(jnp.abs(rec - clean["combined"]).max()) < 1e-5
+
+    rand = sj.randomize_scene(jax.random.PRNGKey(5), clean)
+    rec2 = transforms.recompose({k: v for k, v in rand.items() if k != "combined"})
+    assert float(jnp.abs(rec2 - rand["combined"]).max()) < 1e-4
+    # exposure/depth scaling actually applied
+    assert not bool(jnp.allclose(rand["depth"], clean["depth"]))
+    assert not bool(jnp.allclose(rand["combined"], clean["combined"]))
+
+    b1 = sj.training_batch(jax.random.PRNGKey(2), 4, 16, "joint", "mixed")
+    b2 = sj.training_batch(jax.random.PRNGKey(2), 4, 16, "joint", "mixed")
+    assert b1["x"].shape == (4, 16, 16, 41) and b1["y"].shape == (4, 16, 16, 24)
+    assert bool(jnp.isfinite(b1["x"]).all()) and bool(jnp.isfinite(b1["y"]).all())
+    assert bool((b1["x"] == b2["x"]).all())  # deterministic in key
+    bv = sj.training_batch(jax.random.PRNGKey(2), 2, 16, "joint", "voronoi")
+    assert bool(jnp.isfinite(bv["x"]).all())

@@ -72,3 +72,60 @@ def test_holdout_denoises_through_pipeline():
     out = denoise(params, {k: jnp.asarray(v) for k, v in noisy.items()})
     assert out["combined"].shape == (48, 64, 3)
     assert np.isfinite(np.asarray(out["combined"])).all()
+
+
+# --- round-3 spheres family (the new untouched holdout) ---------------------
+
+
+def test_spheres_recomposition_identity():
+    from deepdenoiser_tpu.data import synthetic_spheres
+
+    clean = synthetic_spheres.generate_clean_passes(40, 56, seed=3)
+    rec = synthetic.recompose_np(clean)
+    np.testing.assert_allclose(rec, clean["combined"], rtol=1e-5, atol=1e-6)
+    noisy = synthetic.add_mc_noise(clean, spp=4, seed=1)
+    np.testing.assert_allclose(
+        synthetic.recompose_np(noisy), noisy["combined"], rtol=1e-5, atol=1e-6
+    )
+
+
+def test_spheres_pass_contract():
+    from deepdenoiser_tpu.data import synthetic_spheres
+
+    clean = synthetic_spheres.generate_clean_passes(32, 48, seed=7)
+    assert set(clean) == set(passes.ALL_PASSES)
+    for name, arr in clean.items():
+        assert arr.shape == (32, 48, passes.channels(name)), name
+        assert arr.dtype == np.float32, name
+        assert np.isfinite(arr).all(), name
+    np.testing.assert_allclose(
+        np.linalg.norm(clean["normal"], axis=-1), 1.0, atol=1e-4
+    )
+    assert clean["depth"].min() > 0.0
+    assert 0.0 <= clean["alpha"].min() and clean["alpha"].max() <= 1.0
+
+
+def test_spheres_structurally_distinct():
+    """Curved geometry: the spheres family has smoothly varying normals on
+    curved surfaces AND a sky region, unlike the Voronoi family's per-cell
+    constant base normals; its albedo has hard checker edges."""
+    from deepdenoiser_tpu.data import synthetic_spheres
+
+    clean = synthetic_spheres.generate_clean_passes(64, 96, seed=5)
+    # sky region exists (alpha 0) and geometry region exists
+    assert 0.05 < clean["alpha"].mean() < 0.999
+    # checkerboard albedo: a large flat fraction AND hard edges
+    g = np.abs(np.diff(clean["diffuse_color"], axis=1)).mean(-1)
+    assert (g < 1e-6).mean() > 0.5  # flat within checker squares
+    assert (g > 0.05).mean() > 0.005  # hard edges present
+
+
+def test_spheres_frame_set_contract():
+    from deepdenoiser_tpu.data import synthetic_spheres
+
+    clean, noisy = synthetic_spheres.generate_frame_set(
+        24, 24, seed=1, spps=(4,), n_seeds=2
+    )
+    assert len(noisy) == 2
+    for n in noisy:
+        assert set(n) == set(clean)

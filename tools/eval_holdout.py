@@ -1,8 +1,10 @@
 """Family-generalization evaluation (de-circularized quality, VERDICT r1):
-PSNR/SSIM gain of the shipped flagship on (a) the TRAINING synthetic family
-(Fourier fields, data/synthetic.py) and (b) the structurally different
-HOLDOUT family (Voronoi scenes, data/synthetic_holdout.py), at matching
-Monte-Carlo noise levels. Prints a table + one JSON line.
+PSNR/SSIM gain of the shipped flagship on (a) the TRAINING families
+(Fourier fields, data/synthetic.py; Voronoi scenes,
+data/synthetic_holdout.py — in the training mix since round 3) and (b) the
+structurally different UNTOUCHED holdout (ray-traced spheres,
+data/synthetic_spheres.py), at matching Monte-Carlo noise levels. Prints a
+table + one JSON line.
 
     python tools/eval_holdout.py [--height 1080 --width 1920] [--frames 3]
                                  [--spp 4 8] [--weights weights/flagship_ema_f16.npz]
@@ -23,13 +25,14 @@ import numpy as np
 
 from __graft_entry__ import FLAGSHIP
 from deepdenoiser_tpu.config import InferenceConfig
-from deepdenoiser_tpu.data import synthetic, synthetic_holdout
+from deepdenoiser_tpu.data import synthetic, synthetic_holdout, synthetic_spheres
 from deepdenoiser_tpu.inference import sequence
 from tools.export_release_weights import load_release_params
 
 FAMILIES = {
-    "train-family (fourier)": synthetic.generate_clean_passes,
-    "holdout (voronoi)": synthetic_holdout.generate_clean_passes,
+    "train (fourier)": synthetic.generate_clean_passes,
+    "train (voronoi, r3)": synthetic_holdout.generate_clean_passes,
+    "holdout (spheres)": synthetic_spheres.generate_clean_passes,
 }
 
 

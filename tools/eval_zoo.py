@@ -68,17 +68,20 @@ def main() -> int:
     args.chain = max(args.chain, 2)  # (tk - t1)/(chain - 1) needs chain >= 2
 
     from deepdenoiser_tpu.config import InferenceConfig
-    from deepdenoiser_tpu.data import synthetic, synthetic_holdout
+    from deepdenoiser_tpu.data import synthetic, synthetic_holdout, synthetic_spheres
     from deepdenoiser_tpu.inference import pipeline
     from deepdenoiser_tpu.ops import metrics
 
     H, W = args.height, args.width
     icfg = InferenceConfig(tile=0, compute_dtype="bfloat16")
 
-    # shared eval frames (host-generated once)
+    # shared eval frames (host-generated once). 'train-family' = Fourier,
+    # 'voronoi' = in the training mix since r3, 'holdout' = the untouched
+    # spheres family (data/synthetic_spheres.py).
     families = {}
     for fam, gen in (("train-family", synthetic.generate_clean_passes),
-                     ("holdout", synthetic_holdout.generate_clean_passes)):
+                     ("voronoi", synthetic_holdout.generate_clean_passes),
+                     ("holdout", synthetic_spheres.generate_clean_passes)):
         frames = []
         for f in range(args.frames):
             clean = gen(H, W, seed=2000 + f)

@@ -95,6 +95,15 @@ def main() -> int:
     p.add_argument("--loss", default="l1", choices=["l1", "l2", "smape", "huber"])
     p.add_argument("--grad-weight", type=float, default=0.2)
     p.add_argument("--model", default="flagship", choices=sorted(MODELS))
+    p.add_argument("--family", default="mixed",
+                   choices=["fourier", "voronoi", "mixed"],
+                   help="training signal family (r3 default: mixed = "
+                        "Fourier + Voronoi, scene-scale/exposure randomized; "
+                        "'fourier' reproduces the r1/r2 corpus)")
+    p.add_argument("--val-every", type=int, default=2000,
+                   help="validate on unseen-seed batches of the training "
+                        "families every N steps; the best-EMA-PSNR "
+                        "checkpoint is kept at <out>-best (0 disables)")
     args = p.parse_args()
 
     mcfg = MODELS[args.model]
@@ -107,7 +116,25 @@ def main() -> int:
 
     state = train_lib.create_state(mcfg, tcfg, jax.random.PRNGKey(0), spatial=args.crop)
     base_step = train_lib.make_train_step(mcfg, tcfg, None)
-    gen = lambda key: synthetic_jax.training_batch(key, args.batch, args.crop, mode)  # noqa: E731
+    gen = lambda key: synthetic_jax.training_batch(  # noqa: E731
+        key, args.batch, args.crop, mode, args.family)
+
+    # Validation for checkpoint SELECTION (not the quality holdout): same
+    # families as training but keys the training stream never sees
+    # (training keys derive from PRNGKey(42+start) splits). The untouched
+    # spheres holdout (data/synthetic_spheres.py) is reporting-only.
+    eval_step = train_lib.make_eval_step(mcfg, tcfg.loss, use_ema=True)
+    val_batches = [
+        synthetic_jax.training_batch(
+            jax.random.PRNGKey(987_000 + i), args.batch, args.crop, mode,
+            args.family)
+        for i in range(4)
+    ]
+
+    def val_psnr(st) -> float:
+        return float(sum(
+            eval_step(st, b)["psnr_encoded"] for b in val_batches
+        )) / len(val_batches)
 
     resume_mgr = CheckpointManager(args.out, keep=1)
     restored = resume_mgr.restore_latest(state)
@@ -121,6 +148,8 @@ def main() -> int:
     key = jax.random.PRNGKey(42 + start)
     t0 = time.time()
     mgr = CheckpointManager(args.out, keep=1)
+    best_mgr = CheckpointManager(args.out + "-best", keep=1) if args.val_every else None
+    best = -float("inf")
     save_every = max(args.log_every * 10, 10_000)
     for i in range(start + 1, args.steps + 1):
         key, k = jax.random.split(key)
@@ -130,12 +159,26 @@ def main() -> int:
             rate = (i - start) / (time.time() - t0)
             print(f"step {i}/{args.steps} loss={loss:.5f} ({rate:.1f} steps/s)",
                   flush=True)
+        if args.val_every and (i % args.val_every == 0 or i == args.steps):
+            v = val_psnr(state)
+            marker = ""
+            if v > best:
+                best = v
+                best_mgr.save(i, state, force=True,
+                              extra={"model": args.model, "mode": mode,
+                                     "val_psnr": v, "family": args.family})
+                marker = "  <- best"
+            print(f"  val[{i}] psnr_encoded={v:.3f} dB (best {best:.3f}){marker}",
+                  flush=True)
         if i % save_every == 0 and i != args.steps:
             mgr.save(i, state, extra={"model": args.model, "mode": mode})
 
     mgr.save(args.steps, state, extra={"model": args.model, "mode": mode},
              force=True)
     mgr.close()
+    if best_mgr is not None:
+        best_mgr.close()
+        print(f"best val checkpoint at {args.out}-best (psnr {best:.3f})")
     print(f"saved checkpoint to {args.out}")
     return 0
 
