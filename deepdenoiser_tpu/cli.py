@@ -90,27 +90,38 @@ def cmd_denoise(args) -> int:
     h, w = next(iter(frame.values())).shape[:2]
 
     mcfg = cfg.model
-    state = train_lib.create_state(mcfg, cfg.train, jax.random.PRNGKey(0),
-                                   spatial=cfg.data.crop)
-    mgr = CheckpointManager(args.checkpoint)
-    restored = mgr.restore_latest(state)
-    if restored is None:
-        print(f"WARNING: no checkpoint under {args.checkpoint}; "
-              "denoising with random weights", file=sys.stderr)
-        params = state.params
+    if args.weights:
+        from deepdenoiser_tpu import weights_io
+
+        params = weights_io.load_release_params(args.weights)
     else:
-        st = restored[0]
-        params = st.ema_params if (args.ema and st.ema_params is not None) else st.params
-    mgr.close()
+        state = train_lib.create_state(mcfg, cfg.train, jax.random.PRNGKey(0),
+                                       spatial=cfg.data.crop)
+        mgr = CheckpointManager(args.checkpoint)
+        restored = mgr.restore_latest(state)
+        if restored is None:
+            print(f"WARNING: no checkpoint under {args.checkpoint}; "
+                  "denoising with random weights", file=sys.stderr)
+            params = state.params
+        else:
+            st = restored[0]
+            params = st.ema_params if (args.ema and st.ema_params is not None) else st.params
+        mgr.close()
 
     mode = args.mode or cfg.data.mode
     if args.mode and args.mode != cfg.data.mode:
         # surface the mismatch up front instead of a deep Flax shape error
         from deepdenoiser_tpu.data import loader as loader_lib
 
-        want = loader_lib.input_channels(
-            dataclasses.replace(cfg.data, mode=args.mode)
-        )
+        try:
+            want = loader_lib.input_channels(
+                dataclasses.replace(cfg.data, mode=args.mode)
+            )
+        except ValueError as e:
+            # e.g. a use_flags config overridden to group/rgb mode
+            print(f"error: --mode {args.mode} is incompatible with this "
+                  f"config: {e}", file=sys.stderr)
+            return 2
         if mcfg.in_channels != want:
             print(
                 f"error: --mode {args.mode} needs {want} input channels but "
@@ -160,16 +171,29 @@ def cmd_eval(args) -> int:
     from deepdenoiser_tpu.training.loop import _validate_channels
 
     cfg = _validate_channels(_load_config(args.config, args.preset))
-    state = train_lib.create_state(cfg.model, cfg.train, jax.random.PRNGKey(0),
-                                   spatial=cfg.data.crop)
-    mgr = CheckpointManager(args.checkpoint)
-    restored = mgr.restore_latest(state)
-    params = restored[0].params if restored else state.params
-    mgr.close()
+    if args.weights:
+        from deepdenoiser_tpu import weights_io
+
+        params = weights_io.load_release_params(args.weights)
+    else:
+        state = train_lib.create_state(cfg.model, cfg.train, jax.random.PRNGKey(0),
+                                       spatial=cfg.data.crop)
+        mgr = CheckpointManager(args.checkpoint)
+        restored = mgr.restore_latest(state)
+        if restored is None:
+            print(f"WARNING: no checkpoint under {args.checkpoint}; "
+                  "evaluating random weights", file=sys.stderr)
+            params = state.params
+        else:
+            st = restored[0]
+            # shipped-checkpoint policy is EMA; evaluate what ships
+            params = st.ema_params if (args.ema and st.ema_params is not None) else st.params
+        mgr.close()
 
     report = sequence.evaluate_render_root(
         cfg.model, cfg.infer, params, args.renders, mode=cfg.data.mode,
         scales=dict(cfg.data.pass_scales) or None,
+        groups=tuple(cfg.data.groups), use_flags=cfg.data.use_flags,
     )
     print(json.dumps(report, indent=2))
     return 0
@@ -209,21 +233,38 @@ def build_parser() -> argparse.ArgumentParser:
     sp.add_argument("--steps", type=int)
     sp.set_defaults(fn=cmd_train)
 
-    sp = sub.add_parser("denoise", help="denoise a full frame")
+    def weight_source(sp):
+        sp.add_argument("--checkpoint",
+                        help="orbax training workdir checkpoint directory")
+        sp.add_argument("--weights",
+                        help="release npz weight file (weights/*.npz) — "
+                             "already EMA; overrides --checkpoint")
+
+    sp = sub.add_parser(
+        "denoise", help="denoise a full frame",
+        epilog="Note: presets default infer.border=32 (measured "
+               "quality-identical on the synthetic families at 1080p/4K); "
+               "set border=-1 in a config JSON to restore the certified "
+               "receptive-field pad for border-critical content.")
     common(sp)
-    sp.add_argument("--checkpoint", required=True)
+    weight_source(sp)
     sp.add_argument("--frame", required=True,
                     help="frame EXR directory or multilayer EXR file")
     sp.add_argument("--out", required=True)
     sp.add_argument("--mode", choices=["group", "joint", "rgb"])
     sp.add_argument("--passes", action="store_true",
                     help="write all denoised passes, not just combined")
-    sp.add_argument("--ema", action="store_true", help="use EMA weights")
+    sp.add_argument("--ema", action="store_true",
+                    help="use EMA weights from the checkpoint (release npz "
+                         "weights are already EMA)")
     sp.set_defaults(fn=cmd_denoise)
 
     sp = sub.add_parser("eval", help="PSNR/SSIM + latency over a render root")
     common(sp)
-    sp.add_argument("--checkpoint", required=True)
+    weight_source(sp)
+    sp.add_argument("--ema", action=argparse.BooleanOptionalAction, default=True,
+                    help="evaluate EMA params (default: on — the shipped-"
+                         "checkpoint policy; --no-ema for raw params)")
     sp.add_argument("--renders", required=True)
     sp.set_defaults(fn=cmd_eval)
 
@@ -232,6 +273,11 @@ def build_parser() -> argparse.ArgumentParser:
 
 def main(argv=None) -> int:
     args = build_parser().parse_args(argv)
+    if getattr(args, "fn", None) in (cmd_denoise, cmd_eval):
+        if not args.checkpoint and not args.weights:
+            print("error: one of --checkpoint or --weights is required",
+                  file=sys.stderr)
+            return 2
     return args.fn(args)
 
 

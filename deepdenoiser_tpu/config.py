@@ -70,6 +70,11 @@ class TrainConfig:
     log_every: int = 100
     eval_every: int = 1000
     data_parallel: bool = True  # shard batch over the mesh 'data' axis
+    # >0 with a multi-scale model: supervise the COMPOSED output at every
+    # pyramid scale against the avg-downsampled target (weight per coarse
+    # scale, averaged) — upstream-style per-scale supervision (SURVEY.md
+    # C13; the r2-trained multiscale without it was worse than its input)
+    scale_supervision_weight: float = 0.0
     loss: LossConfig = dataclasses.field(default_factory=LossConfig)
 
 

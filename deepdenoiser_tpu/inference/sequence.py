@@ -28,6 +28,26 @@ from deepdenoiser_tpu.ops import metrics
 Array = jax.Array
 
 
+def _make_mode_denoiser(model_cfg, infer_cfg, height, width, mode, scales,
+                        groups, use_flags):
+    """Shared mode dispatch; threads use_flags/groups into joint mode so
+    flag-trained models (flagship-flags preset) work through every
+    sequence entry point, not just cmd_denoise (ADVICE r2 #1)."""
+    kw = {} if groups is None else {"groups": tuple(groups)}
+    if mode == "group":
+        return pipeline.make_group_frame_denoiser(
+            model_cfg, infer_cfg, height, width, scales=scales, **kw
+        )
+    if mode == "joint":
+        return pipeline.make_joint_frame_denoiser(
+            model_cfg, infer_cfg, height, width, use_flags=use_flags,
+            scales=scales, **kw,
+        )
+    return pipeline.make_rgb_frame_denoiser(
+        model_cfg, infer_cfg, height, width, scales=scales
+    )
+
+
 def make_sequence_denoiser(
     model_cfg: ModelConfig,
     infer_cfg: InferenceConfig,
@@ -35,24 +55,25 @@ def make_sequence_denoiser(
     width: int,
     mode: str = "group",
     scales=None,
+    groups=None,
+    use_flags: bool = False,
 ):
-    """Returns jitted fn(params, noisy_passes, gt_combined|None) ->
-    (denoised_combined, psnr, ssim). gt metrics are NaN when gt is absent."""
-    if mode == "group":
-        denoise, grid = pipeline.make_group_frame_denoiser(
-            model_cfg, infer_cfg, height, width, scales=scales
-        )
-    elif mode == "joint":
-        denoise, grid = pipeline.make_joint_frame_denoiser(
-            model_cfg, infer_cfg, height, width, scales=scales
-        )
-    else:
-        denoise, grid = pipeline.make_rgb_frame_denoiser(
-            model_cfg, infer_cfg, height, width, scales=scales
-        )
+    """Returns jitted fn(params, noisy_passes, gt_combined, salt) ->
+    (denoised_combined, psnr, ssim).
+
+    `salt` is a scalar added to one input pass — 0.0 in normal use; the
+    latency harness feeds the previous frame's psnr * 1e-30 so frames
+    chain into one device-side dependency stream (the only reliable
+    timing methodology through the axon tunnel, see run_sequence)."""
+    denoise, grid = _make_mode_denoiser(
+        model_cfg, infer_cfg, height, width, mode, scales, groups, use_flags
+    )
 
     @jax.jit
-    def run(params, noisy: Mapping[str, Array], gt_combined: Array):
+    def run(params, noisy: Mapping[str, Array], gt_combined: Array, salt):
+        noisy = dict(noisy)
+        key = "combined" if mode == "rgb" else "diffuse_direct"
+        noisy[key] = noisy[key] + salt
         out = denoise(params, noisy)
         pred = metrics.tonemap_for_metrics(out["combined"])[None]
         ref = metrics.tonemap_for_metrics(gt_combined)[None]
@@ -73,6 +94,8 @@ def make_batch_frame_denoiser(
     width: int,
     mode: str = "joint",
     scales=None,
+    groups=None,
+    use_flags: bool = False,
 ):
     """Data-parallel animation-BATCH denoising (BASELINE config #5 at
     multi-chip scale): a batch of frames, sharded over the mesh 'data'
@@ -86,18 +109,9 @@ def make_batch_frame_denoiser(
     """
     from jax.sharding import PartitionSpec as P
 
-    if mode == "joint":
-        den, grid = pipeline.make_joint_frame_denoiser(
-            model_cfg, infer_cfg, height, width, scales=scales
-        )
-    elif mode == "group":
-        den, grid = pipeline.make_group_frame_denoiser(
-            model_cfg, infer_cfg, height, width, scales=scales
-        )
-    else:
-        den, grid = pipeline.make_rgb_frame_denoiser(
-            model_cfg, infer_cfg, height, width, scales=scales
-        )
+    den, grid = _make_mode_denoiser(
+        model_cfg, infer_cfg, height, width, mode, scales, groups, use_flags
+    )
 
     def local(params, batch: Mapping[str, Array]) -> Array:
         return jax.vmap(lambda f: den(params, f)["combined"])(dict(batch))
@@ -120,41 +134,79 @@ def run_sequence(
     gts: Optional[Sequence[np.ndarray]] = None,
     mode: str = "group",
     scales=None,
+    groups=None,
+    use_flags: bool = False,
 ) -> Dict[str, object]:
     """Denoise a frame sequence; returns per-frame latency/PSNR/SSIM.
 
-    Latency per frame is measured by scalar-forcing each frame's metrics
-    (the PSNR fetch serializes the device stream for that frame).
+    Timing methodology (matches bench.py; the r2 per-frame scalar fetch
+    inflated every frame by the ~30 ms tunnel fetch cost):
+
+      * `latency_ms_mean`/`_median` — AUTHORITATIVE: frames CHAINED
+        device-side (frame i's input salted by frame i-1's psnr * 1e-30,
+        one dependency stream), ONE scalar fetch closes the chain;
+        mean = (t_total - t_fetch)/N with the fetch cost measured
+        separately on an already-computed scalar.
+      * `latency_ms` — per-frame series from a second, fetch-synced pass
+        with the measured fetch cost subtracted per frame (a noisier
+        estimate; use the chained mean for headline numbers).
     """
     h, w = next(iter(frames[0].values())).shape[:2]
-    run, grid = make_sequence_denoiser(model_cfg, infer_cfg, h, w, mode, scales)
+    run, grid = make_sequence_denoiser(
+        model_cfg, infer_cfg, h, w, mode, scales, groups, use_flags
+    )
 
+    dev_frames = [{k: jnp.asarray(v) for k, v in f.items()} for f in frames]
+    dev_gts = [
+        jnp.asarray(gts[i] if gts is not None else f["combined"])
+        for i, f in enumerate(frames)
+    ]
+
+    # compile + warm up the EXACT signature the timed loop uses (salt is a
+    # traced array, never a Python float — a float would compile a second
+    # program whose compile lands inside the timed chain)
+    zero = jnp.zeros(())
+    _, p0, _ = run(params, dev_frames[0], dev_gts[0], zero)
+    _ = float(p0)
+    # measured cost of one scalar device->host fetch on this link
+    t0 = time.perf_counter()
+    _ = float(p0)
+    fetch_ms = 1e3 * (time.perf_counter() - t0)
+
+    # timed chained pass (authoritative mean): one fetch closes the chain
+    salt = p0 * 0.0
+    t_start = time.perf_counter()
+    for i, f in enumerate(dev_frames):
+        _, p, _ = run(params, f, dev_gts[i], salt)
+        salt = p * 1e-30
+    _ = float(salt)
+    n = len(frames)
+    chained_ms = max(1e3 * (time.perf_counter() - t_start) - fetch_ms, 0.0) / n
+
+    # per-frame series + quality: fetch-synced, fetch cost subtracted
     lat_ms: List[float] = []
     psnrs: List[float] = []
     ssims: List[float] = []
-    for i, f in enumerate(frames):
-        gt = gts[i] if gts is not None else f["combined"]
-        dev_f = {k: jnp.asarray(v) for k, v in f.items()}
-        dev_gt = jnp.asarray(gt)
-        if i == 0:  # compile outside the timed region
-            out = run(params, dev_f, dev_gt)
-            _ = float(out[1])
+    for i, f in enumerate(dev_frames):
         t0 = time.perf_counter()
-        _, p, s = run(params, dev_f, dev_gt)
-        p = float(p)  # scalar fetch forces completion
-        s = float(s)
-        lat_ms.append(1e3 * (time.perf_counter() - t0))
+        _, p, s = run(params, f, dev_gts[i], zero)
+        p = float(p)  # forces this frame only
+        lat_ms.append(
+            max(1e3 * (time.perf_counter() - t0) - fetch_ms, 0.0)
+        )
         psnrs.append(p)
-        ssims.append(s)
+        ssims.append(float(s))
 
     return {
-        "n_frames": len(frames),
+        "n_frames": n,
         "height": h,
         "width": w,
         "grid": {"tile_h": grid.tile_h, "tile_w": grid.tile_w,
                  "halo": grid.halo, "n_tiles": grid.n_tiles},
         "latency_ms": lat_ms,
-        "latency_ms_median": float(np.median(lat_ms)),
+        "latency_ms_mean": chained_ms,  # chained methodology (as bench.py)
+        "latency_ms_median": chained_ms,
+        "fetch_overhead_ms": fetch_ms,
         "psnr": psnrs,
         "psnr_mean": float(np.mean(psnrs)),
         "ssim": ssims,
@@ -170,6 +222,8 @@ def evaluate_render_root(
     mode: str = "group",
     max_frames: int = 0,
     scales=None,
+    groups=None,
+    use_flags: bool = False,
 ) -> Dict[str, object]:
     """Load frames (noisiest variant vs ground truth) from a render root and
     run the sequence harness over them."""
@@ -190,7 +244,8 @@ def evaluate_render_root(
         )
         noisy_frames.append(exr.load_frame_dir(variants[0], strict=False))
         gts.append(exr.load_frame_dir(fd / GT_DIR, wanted=["combined"])["combined"])
-    return run_sequence(model_cfg, infer_cfg, params, noisy_frames, gts, mode, scales)
+    return run_sequence(model_cfg, infer_cfg, params, noisy_frames, gts, mode,
+                        scales, groups, use_flags)
 
 
 def _variant_spp_key(p: Path):

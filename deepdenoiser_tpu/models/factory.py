@@ -48,6 +48,7 @@ class ModelConfig:
     # tiramisu params
     growth_rate: int = 16
     layers_per_block: int = 4
+    up_compress: int = 0  # >0: bound up-path concat width via 1x1 conv
 
     @property
     def dtype(self):
@@ -65,8 +66,12 @@ class DenoiserModel(nn.Module):
     cfg: ModelConfig
 
     @nn.compact
-    def __call__(self, x: Array) -> Array:
+    def __call__(self, x: Array, return_scales: bool = False):
         cfg = self.cfg
+        if return_scales:
+            assert cfg.n_scales > 1 and not cfg.kernel_prediction, (
+                "return_scales needs a multi-scale, non-KPN model"
+            )
         out_ch = (
             cfg.kpn_slots * cfg.kpn_size**2 if cfg.kernel_prediction else cfg.out_channels
         )
@@ -91,6 +96,7 @@ class DenoiserModel(nn.Module):
                 depth=cfg.depth,
                 act=cfg.act,
                 stem_stride=cfg.stem_stride,
+                up_compress=cfg.up_compress,
             )
             backbone = Tiramisu(
                 tspec, out_ch,
@@ -114,22 +120,43 @@ class DenoiserModel(nn.Module):
             # (log-demod) channels, filter there — convex combos in log space
             # are still stable; decode happens downstream as usual.
             return head(x, signal)
+        if return_scales:
+            from deepdenoiser_tpu.models import layers as layers_lib
+
+            outs = net(x, return_scales=True)  # finest -> coarsest
+            if cfg.predict_residual:
+                signal = _slice_signal(cfg, x)
+                fixed = []
+                for s, o in enumerate(outs):
+                    # anchor EVERY scale to its downsampled noisy signal so
+                    # per-scale supervision trains corrections, as the
+                    # finest-scale residual path does
+                    fixed.append(o + signal.astype(o.dtype))
+                    if s < len(outs) - 1:
+                        signal = layers_lib.avg_downsample(signal, 2)
+                outs = fixed
+            return outs
+
         out = net(x)
         if cfg.predict_residual:
-            # contiguous slices (not a gather): XLA fuses these into the
-            # consumer add with zero extra HBM traffic
-            idx = signal_indices(cfg)
-            runs = []
-            start = 0
-            for i in range(1, len(idx) + 1):
-                if i == len(idx) or idx[i] != idx[i - 1] + 1:
-                    runs.append(
-                        jax.lax.slice_in_dim(x, idx[start], idx[i - 1] + 1, axis=-1)
-                    )
-                    start = i
-            signal = runs[0] if len(runs) == 1 else jnp.concatenate(runs, axis=-1)
-            out = out + signal.astype(out.dtype)
+            out = out + _slice_signal(cfg, x).astype(out.dtype)
         return out
+
+
+def _slice_signal(cfg: ModelConfig, x: Array) -> Array:
+    """Noisy encoded signal channels of x matching the output channels,
+    as contiguous slices (not a gather): XLA fuses these into the
+    consumer add with zero extra HBM traffic."""
+    idx = signal_indices(cfg)
+    runs = []
+    start = 0
+    for i in range(1, len(idx) + 1):
+        if i == len(idx) or idx[i] != idx[i - 1] + 1:
+            runs.append(
+                jax.lax.slice_in_dim(x, idx[start], idx[i - 1] + 1, axis=-1)
+            )
+            start = i
+    return runs[0] if len(runs) == 1 else jnp.concatenate(runs, axis=-1)
 
 
 def signal_indices(cfg: ModelConfig) -> Tuple[int, ...]:
@@ -158,6 +185,7 @@ def _backbone_spec(cfg: ModelConfig):
         return TiramisuSpec(
             growth_rate=cfg.growth_rate, layers_per_block=cfg.layers_per_block,
             depth=cfg.depth, act=cfg.act, stem_stride=cfg.stem_stride,
+            up_compress=cfg.up_compress,
         )
     raise ValueError(f"unknown backbone {cfg.backbone!r}")
 

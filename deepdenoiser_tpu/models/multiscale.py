@@ -31,13 +31,18 @@ def compose_scales(fine_pred: Array, coarse_out: Array) -> Array:
 
 
 class MultiScale(nn.Module):
-    """Runs `backbone` over an n_scales pyramid with shared weights."""
+    """Runs `backbone` over an n_scales pyramid with shared weights.
+
+    return_scales=True returns the COMPOSED output at every scale,
+    finest→coarsest — the per-scale supervision targets (r2 diagnosed the
+    trained multiscale as worse-than-noisy; upstream supervises each
+    scale's composed output, not just the finest — VERDICT r2 item 2)."""
 
     backbone: nn.Module
     n_scales: int = 3
 
     @nn.compact
-    def __call__(self, x: Array) -> Array:
+    def __call__(self, x: Array, return_scales: bool = False):
         assert self.n_scales >= 1
         pyramid: List[Array] = [x]
         for _ in range(self.n_scales - 1):
@@ -47,8 +52,12 @@ class MultiScale(nn.Module):
         preds = [self.backbone(lvl) for lvl in pyramid]
 
         out = preds[-1]
+        composed = [out]  # coarsest first
         for s in range(self.n_scales - 2, -1, -1):
             out = compose_scales(preds[s], out)
+            composed.append(out)
+        if return_scales:
+            return composed[::-1]  # finest -> coarsest
         return out
 
 

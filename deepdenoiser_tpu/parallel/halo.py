@@ -43,6 +43,15 @@ def plan_bands(
     """
     hp = _round_up(halo, multiple)
     b = _round_up(-(-height // n_shards), multiple)
+    if b < hp:
+        # ppermute exchanges with the IMMEDIATE ring neighbor only; a halo
+        # taller than one band would need rows from two hops away and the
+        # slice band[-hp:] would silently truncate (shape blow-up later).
+        raise ValueError(
+            f"band height {b} < halo {hp}: frame of {height} rows is too "
+            f"short for {n_shards} spatial shards of this model (needs "
+            f"height >= {n_shards * hp}); use fewer shards or tiles"
+        )
     core_h = n_shards * b
     core_w = _round_up(width, multiple)
     grid = tiled.TileGrid(height, width, core_h, core_w, hp, 1, 1)

@@ -82,10 +82,31 @@ def create_state(
 
 
 def _loss_and_metrics(
-    model_apply: Callable, loss_cfg: losses.LossConfig, params, batch: Batch
+    model_apply: Callable,
+    loss_cfg: losses.LossConfig,
+    params,
+    batch: Batch,
+    scale_weight: float = 0.0,
 ) -> Tuple[Array, Dict[str, Array]]:
-    pred = model_apply(params, batch["x"])
-    loss = losses.pass_loss(loss_cfg, pred, batch["y"], batch.get("mask"))
+    mask = batch.get("mask")
+    if scale_weight > 0.0:
+        # Per-scale supervision (SURVEY.md C13): the model returns composed
+        # outputs finest->coarsest; each coarse scale is scored against the
+        # avg-downsampled target (masks broadcast across space unchanged).
+        from deepdenoiser_tpu.models import layers as layers_lib
+
+        outs = model_apply(params, batch["x"], return_scales=True)
+        pred = outs[0]
+        loss = losses.pass_loss(loss_cfg, pred, batch["y"], mask)
+        tgt = batch["y"]
+        extra = jnp.zeros((), jnp.float32)
+        for o in outs[1:]:
+            tgt = layers_lib.avg_downsample(tgt, 2)
+            extra = extra + losses.pass_loss(loss_cfg, o, tgt, mask)
+        loss = loss + scale_weight * extra / max(len(outs) - 1, 1)
+    else:
+        pred = model_apply(params, batch["x"])
+        loss = losses.pass_loss(loss_cfg, pred, batch["y"], mask)
     mets = {
         "loss": loss,
         "psnr_encoded": metrics.psnr(pred, batch["y"], data_range=4.0),
@@ -126,10 +147,14 @@ def make_train_step(
     model = factory.build_model(model_cfg)
     tx = make_optimizer(train_cfg)
     loss_cfg = train_cfg.loss
+    scale_w = (
+        train_cfg.scale_supervision_weight if model_cfg.n_scales > 1 else 0.0
+    )
 
     def local_step(state: TrainState, batch: Batch, axis: Optional[str]):
         (loss, mets), grads = jax.value_and_grad(
-            lambda p: _loss_and_metrics(model.apply, loss_cfg, p, batch), has_aux=True
+            lambda p: _loss_and_metrics(model.apply, loss_cfg, p, batch, scale_w),
+            has_aux=True,
         )(state.params)
         if axis is not None:
             grads = jax.lax.pmean(grads, axis)

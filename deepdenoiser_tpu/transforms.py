@@ -95,6 +95,24 @@ def _aux_scale(scales: Optional[Mapping[str, float]], name: str) -> float:
     return float(scales.get(name, 1.0)) if scales else 1.0
 
 
+# Pseudo-pass key in `scales` holding the corpus-derived EXPOSURE pre-scale
+# shared by every HDR radiance encode: log1p(exposure * radiance) instead of
+# the absolute-scale-dependent log1p(radiance) (SURVEY.md C7→C4; VERDICT r2
+# item 9 — HDR radiance is as scene-scale sensitive as depth). Derived by
+# loader.derive_pass_scales (1 / mean combined radiance), frozen into the
+# saved config, inverted exactly on decode.
+RADIANCE_SCALE_KEY = "radiance"
+
+
+def _exposure(scales: Optional[Mapping[str, float]]) -> float:
+    return _aux_scale(scales, RADIANCE_SCALE_KEY)
+
+
+def radiance_exposure(scales: Optional[Mapping[str, float]]) -> float:
+    """Public accessor for the exposure pre-scale (1.0 when unset)."""
+    return _exposure(scales)
+
+
 # ---------------------------------------------------------------------------
 # Albedo demodulation
 # ---------------------------------------------------------------------------
@@ -169,9 +187,10 @@ def encode_group_inputs(
     """
     d_name, i_name, c_name = passes.group_passes(group)
     albedo = pass_dict[c_name]
+    ex = _exposure(scales)
     feats = [
-        _norm_radiance(demodulate(pass_dict[d_name], albedo, eps)),
-        _norm_radiance(demodulate(pass_dict[i_name], albedo, eps)),
+        _norm_radiance(ex * demodulate(pass_dict[d_name], albedo, eps)),
+        _norm_radiance(ex * demodulate(pass_dict[i_name], albedo, eps)),
         albedo,
     ]
     for a in aux:
@@ -183,15 +202,18 @@ def decode_group_outputs(
     net_out: Array,
     albedo: Array,
     eps: float = DEMOD_EPS,
+    scales: Optional[Mapping[str, float]] = None,
 ) -> Dict[str, Array]:
     """Invert encode: net_out is [log demod direct (3), log demod indirect (3)].
 
     Returns raw-domain {'direct': ..., 'indirect': ...} for the group.
+    `scales` must match the encode side (exposure inverted here).
     """
+    ex = _exposure(scales)
     log_d, log_i = net_out[..., 0:3], net_out[..., 3:6]
     return {
-        "direct": remodulate(_denorm_radiance(log_d), albedo, eps),
-        "indirect": remodulate(_denorm_radiance(log_i), albedo, eps),
+        "direct": remodulate(_denorm_radiance(log_d) / ex, albedo, eps),
+        "indirect": remodulate(_denorm_radiance(log_i) / ex, albedo, eps),
     }
 
 
@@ -227,12 +249,13 @@ def encode_joint_inputs(
     (e.g. glossy noise correlates with diffuse edges). Channel count:
     9 * len(groups) + aux.
     """
+    ex = _exposure(scales)
     feats = []
     for g in groups:
         d_name, i_name, c_name = passes.group_passes(g)
         albedo = pass_dict[c_name]
-        feats.append(_norm_radiance(demodulate(pass_dict[d_name], albedo, eps)))
-        feats.append(_norm_radiance(demodulate(pass_dict[i_name], albedo, eps)))
+        feats.append(_norm_radiance(ex * demodulate(pass_dict[d_name], albedo, eps)))
+        feats.append(_norm_radiance(ex * demodulate(pass_dict[i_name], albedo, eps)))
         feats.append(albedo)
     for a in aux:
         feats.append(normalize(a, pass_dict[a], _aux_scale(scales, a)))
@@ -244,6 +267,7 @@ def decode_joint_outputs(
     pass_dict: Mapping[str, Array],
     groups: Sequence[str] = LIGHT_GROUPS,
     eps: float = DEMOD_EPS,
+    scales: Optional[Mapping[str, float]] = None,
 ) -> Dict[str, Array]:
     """Invert encode_joint: net_out (..., 6*G) -> raw direct/indirect per
     group (albedo taken from pass_dict)."""
@@ -251,7 +275,7 @@ def decode_joint_outputs(
     for i, g in enumerate(groups):
         d_name, i_name, c_name = passes.group_passes(g)
         sl = net_out[..., 6 * i : 6 * (i + 1)]
-        dec = decode_group_outputs(sl, pass_dict[c_name], eps)
+        dec = decode_group_outputs(sl, pass_dict[c_name], eps, scales)
         out[d_name] = dec["direct"]
         out[i_name] = dec["indirect"]
     return out
@@ -274,15 +298,18 @@ def encode_rgb_inputs(
     scales: Optional[Mapping[str, float]] = None,
 ) -> Array:
     """Combined-RGB mode input (BASELINE config #1): noisy RGB + albedo + aux."""
-    feats = [_norm_radiance(pass_dict["combined"]), pass_dict[albedo_key]]
+    feats = [_norm_radiance(_exposure(scales) * pass_dict["combined"]),
+             pass_dict[albedo_key]]
     for a in aux:
         feats.append(normalize(a, pass_dict[a], _aux_scale(scales, a)))
     return jnp.concatenate(feats, axis=-1)
 
 
-def decode_rgb_outputs(net_out: Array) -> Array:
+def decode_rgb_outputs(
+    net_out: Array, scales: Optional[Mapping[str, float]] = None
+) -> Array:
     """Inverse of the combined-RGB encoding: log radiance → radiance."""
-    return _denorm_radiance(net_out)
+    return _denorm_radiance(net_out) / _exposure(scales)
 
 
 def rgb_input_channels(aux: Sequence[str] = ("normal", "depth")) -> int:

@@ -106,3 +106,11 @@ def test_pallas_ingest_pipeline_matches_reference():
         np.testing.assert_allclose(
             np.asarray(outs[0][k]), np.asarray(outs[1][k]), atol=1e-5, err_msg=k
         )
+
+
+def test_plan_bands_rejects_halo_taller_than_band():
+    """ppermute reaches only the immediate ring neighbor, so a halo taller
+    than one band cannot be exchanged; plan_bands must fail loudly instead
+    of silently truncating the strip."""
+    with pytest.raises(ValueError, match="band height"):
+        halo_lib.plan_bands(64, 48, 8, halo=131, multiple=16)

@@ -236,3 +236,80 @@ def test_s2d_d2s_conv_matches_reshape():
     np.testing.assert_array_equal(np.asarray(a2), np.asarray(b2))
     back = layers.depth_to_space(layers.space_to_depth(x, 2), 2)
     np.testing.assert_array_equal(np.asarray(back), np.asarray(x))
+
+
+def test_multiscale_return_scales_contract():
+    """return_scales yields composed outputs finest->coarsest; the finest
+    equals the plain __call__ output exactly, and the residual anchor is
+    applied at every scale (VERDICT r2 item 2 groundwork)."""
+    import jax.numpy as jnp
+
+    from deepdenoiser_tpu import transforms
+
+    cfg = ModelConfig(
+        backbone="unet", in_channels=transforms.joint_input_channels(),
+        out_channels=transforms.joint_output_channels(), base_width=4,
+        depth=1, convs_per_level=1, n_scales=3, predict_residual=True,
+    )
+    model = factory.build_model(cfg)
+    x = jax.random.normal(jax.random.PRNGKey(0), (2, 32, 32, cfg.in_channels))
+    params = model.init(jax.random.PRNGKey(1), x)
+
+    plain = model.apply(params, x)
+    outs = model.apply(params, x, return_scales=True)
+    assert len(outs) == 3
+    assert outs[0].shape == (2, 32, 32, cfg.out_channels)
+    assert outs[1].shape == (2, 16, 16, cfg.out_channels)
+    assert outs[2].shape == (2, 8, 8, cfg.out_channels)
+    np.testing.assert_allclose(np.asarray(outs[0]), np.asarray(plain),
+                               rtol=1e-6, atol=1e-6)
+    assert all(bool(jnp.isfinite(o).all()) for o in outs)
+
+
+def test_multiscale_per_scale_supervision_trains():
+    """A train step with scale_supervision_weight>0 compiles, decreases the
+    loss on a fixed batch, and differs from the unsupervised loss path."""
+    import jax.numpy as jnp
+
+    from deepdenoiser_tpu import transforms
+    from deepdenoiser_tpu.config import TrainConfig
+    from deepdenoiser_tpu.training import train as train_lib
+
+    cfg = ModelConfig(
+        backbone="unet", in_channels=transforms.joint_input_channels(),
+        out_channels=transforms.joint_output_channels(), base_width=4,
+        depth=1, convs_per_level=1, n_scales=2, predict_residual=True,
+    )
+    tcfg = TrainConfig(steps=20, warmup_steps=0, learning_rate=1e-2,
+                       schedule="constant", scale_supervision_weight=0.5)
+    state = train_lib.create_state(cfg, tcfg, jax.random.PRNGKey(0), spatial=16)
+    step = train_lib.make_train_step(cfg, tcfg, None)
+    batch = {
+        "x": jax.random.normal(jax.random.PRNGKey(1), (2, 16, 16, cfg.in_channels)),
+        "y": jax.random.normal(jax.random.PRNGKey(2), (2, 16, 16, cfg.out_channels)) * 0.1,
+    }
+    state, mets0 = step(state, batch)
+    first = float(mets0["loss"])
+    for _ in range(10):
+        state, mets = step(state, batch)
+    assert float(mets["loss"]) < first
+    assert bool(jnp.isfinite(mets["loss"]))
+
+
+def test_tiramisu_up_compress():
+    """up_compress bounds the up-path concat width via 1x1 conv without
+    changing the output shape or the certified RF (the r2 HBM-traffic fix)."""
+    x = jnp.zeros((1, 32, 32, 14))
+    full = Tiramisu(TiramisuSpec(growth_rate=8, layers_per_block=2, depth=2), 6)
+    fast_spec = TiramisuSpec(growth_rate=8, layers_per_block=2, depth=2,
+                             up_compress=24)
+    fast = Tiramisu(fast_spec, 6)
+    pf = full.init(jax.random.PRNGKey(0), x)
+    pc = fast.init(jax.random.PRNGKey(0), x)
+    assert fast.apply(pc, x).shape == full.apply(pf, x).shape == (1, 32, 32, 6)
+    # fewer params in the dense blocks fed by compressed concats
+    count = lambda t: sum(int(np.prod(v.shape)) for v in jax.tree.leaves(t))
+    assert count(pc) < count(pf)
+    # 1x1 compression leaves the receptive field untouched
+    assert fast_spec.receptive_field() == TiramisuSpec(
+        growth_rate=8, layers_per_block=2, depth=2).receptive_field()

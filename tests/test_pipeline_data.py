@@ -256,9 +256,12 @@ def test_stats_driven_normalization(shard_dirs):
 
     out, metas, cfg = shard_dirs
     scales = loader.derive_pass_scales(metas["train"])
-    assert len(scales) == 1 and scales[0][0] == "depth"
+    sd = dict(scales)
+    assert set(sd) == {"depth", transforms.RADIANCE_SCALE_KEY}
     want = 1.0 / metas["train"].stats["depth"]["mean"]
-    assert abs(scales[0][1] - want) < 1e-9
+    assert abs(sd["depth"] - want) < 1e-9
+    want_ex = 1.0 / metas["train"].stats["combined"]["mean"]
+    assert abs(sd[transforms.RADIANCE_SCALE_KEY] - want_ex) < 1e-9
 
     # encoder applies the scale: last aux channel is depth
     dcfg = DataConfig(crop=32, batch_size=4, mode="joint",
@@ -309,9 +312,9 @@ def test_fit_freezes_stats_scales(shard_dirs, tmp_path):
     )
     loop.fit(ecfg, tmp_path / "run", shard_dir=str(out), use_mesh=False)
     saved = json.loads((tmp_path / "run" / "config.json").read_text())
-    ps = saved["data"]["pass_scales"]
-    assert len(ps) == 1 and ps[0][0] == "depth"
-    assert abs(ps[0][1] - 1.0 / metas["train"].stats["depth"]["mean"]) < 1e-9
+    ps = dict((k, v) for k, v in saved["data"]["pass_scales"])
+    assert set(ps) == {"depth", "radiance"}
+    assert abs(ps["depth"] - 1.0 / metas["train"].stats["depth"]["mean"]) < 1e-9
 
 
 def test_batch_encoder_joint(shard_dirs):

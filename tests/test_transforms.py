@@ -112,3 +112,66 @@ def test_flag_channels():
     assert ch.shape == (8, 10, 7)
     np.testing.assert_array_equal(np.asarray(ch[0, 0]), np.asarray(ff.mask_bits(), dtype=np.float32))
     assert np.asarray(ch).std(axis=(0, 1)).max() == 0  # constant per channel
+
+
+def test_radiance_exposure_round_trip():
+    """VERDICT r2 item 9: the corpus-derived exposure pre-scale is applied
+    to every HDR radiance encode (group/joint/rgb) and inverted EXACTLY on
+    decode — scaled and unscaled paths agree in the raw radiance domain."""
+    import jax
+
+    key = jax.random.PRNGKey(3)
+    h = w = 8
+    d = dict()
+    for g in passes.LIGHT_GROUPS:
+        dn, inn, cn = passes.group_passes(g)
+        key, k1, k2, k3 = jax.random.split(key, 4)
+        d[dn] = jax.random.uniform(k1, (h, w, 3), maxval=5.0)
+        d[inn] = jax.random.uniform(k2, (h, w, 3), maxval=2.0)
+        d[cn] = jax.random.uniform(k3, (h, w, 3))
+    key, k1, k2, k3, k4 = jax.random.split(key, 5)
+    d["normal"] = jax.random.uniform(k1, (h, w, 3), minval=-1.0, maxval=1.0)
+    d["depth"] = jax.random.uniform(k2, (h, w, 1), maxval=30.0)
+    d["alpha"] = jax.random.uniform(k3, (h, w, 1))
+    d["combined"] = jax.random.uniform(k4, (h, w, 3), maxval=8.0)
+
+    scales = {transforms.RADIANCE_SCALE_KEY: 0.31}
+
+    # group: encoded first 6 channels ARE the log-demod signal; decoding
+    # them must recover the raw direct/indirect exactly
+    enc = transforms.encode_group_inputs(d, "diffuse", scales=scales)
+    dec = transforms.decode_group_outputs(
+        enc[..., :6], d["diffuse_color"], scales=scales
+    )
+    np.testing.assert_allclose(
+        np.asarray(dec["direct"]), np.asarray(d["diffuse_direct"]),
+        rtol=1e-5, atol=1e-5,
+    )
+    np.testing.assert_allclose(
+        np.asarray(dec["indirect"]), np.asarray(d["diffuse_indirect"]),
+        rtol=1e-5, atol=1e-5,
+    )
+    # exposure actually changes the encoding
+    enc_plain = transforms.encode_group_inputs(d, "diffuse")
+    assert not np.allclose(np.asarray(enc[..., :6]), np.asarray(enc_plain[..., :6]))
+
+    # joint: signal channels of group i are at 9i..9i+6
+    encj = transforms.encode_joint_inputs(d, scales=scales)
+    sig = np.concatenate(
+        [np.asarray(encj[..., 9 * i : 9 * i + 6]) for i in range(4)], axis=-1
+    )
+    decj = transforms.decode_joint_outputs(
+        jnp.asarray(sig), d, scales=scales
+    )
+    for g in passes.LIGHT_GROUPS:
+        dn = passes.group_passes(g)[0]
+        np.testing.assert_allclose(
+            np.asarray(decj[dn]), np.asarray(d[dn]), rtol=1e-5, atol=1e-5
+        )
+
+    # rgb: combined round-trips through the exposure
+    encr = transforms.encode_rgb_inputs(d, scales=scales)
+    out = transforms.decode_rgb_outputs(encr[..., :3], scales)
+    np.testing.assert_allclose(
+        np.asarray(out), np.asarray(d["combined"]), rtol=1e-5, atol=1e-5
+    )

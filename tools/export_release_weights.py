@@ -21,34 +21,12 @@ sys.path.insert(0, str(Path(__file__).resolve().parents[1]))
 import jax
 import numpy as np
 
-
-def flatten(tree, prefix=""):
-    out = {}
-    for k, v in tree.items():
-        p = f"{prefix}/{k}" if prefix else k
-        if isinstance(v, dict):
-            out.update(flatten(v, p))
-        else:
-            out[p] = np.asarray(v)
-    return out
-
-
-def unflatten(flat):
-    root = {}
-    for path, arr in flat.items():
-        parts = path.split("/")
-        node = root
-        for p in parts[:-1]:
-            node = node.setdefault(p, {})
-        node[parts[-1]] = arr
-    return root
-
-
-def load_release_params(path):
-    """npz -> {'params': ...} pytree (float32)."""
-    with np.load(path) as z:
-        flat = {k: z[k].astype(np.float32) for k in z.files}
-    return unflatten(flat)
+# Canonical implementations live in the package (deepdenoiser_tpu.weights_io)
+# so the CLI can load release npz files; re-exported here for the tools that
+# import from this script.
+from deepdenoiser_tpu.weights_io import (  # noqa: F401
+    flatten, load_release_params, unflatten,
+)
 
 
 def main() -> int:
@@ -87,6 +65,8 @@ def main() -> int:
     size = Path(args.out).stat().st_size / 1e6
     print(f"wrote {args.out} ({size:.1f} MB, step {int(st.step)}, "
           f"{sum(v.size for v in flat.values())/1e6:.2f}M params)")
+    if restored[1]:
+        print(f"checkpoint extra: {restored[1]}")
     return 0
 
 
