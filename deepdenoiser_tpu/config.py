@@ -214,9 +214,17 @@ PRESETS: Dict[str, ExperimentConfig] = {
         name="unet-small",
         model=ModelConfig(backbone="unet", base_width=32, depth=3, n_scales=1),
     ),
+    # Multi-scale wrapper (SURVEY.md C13). The r2-trained variant WITHOUT
+    # per-scale supervision scored below the noisy input on holdout;
+    # scale_supervision_weight>0 is the fix and part of this preset —
+    # training without it is known-bad (STATUS_R3 ladder has the numbers).
     "unet-multiscale": ExperimentConfig(
         name="unet-multiscale",
-        model=ModelConfig(backbone="unet", base_width=48, depth=3, n_scales=3),
+        model=ModelConfig(backbone="unet", base_width=48, depth=3, n_scales=3,
+                          compute_dtype="bfloat16", predict_residual=True,
+                          act="leaky_relu"),
+        data=DataConfig(mode="joint"),
+        train=TrainConfig(ema_decay=0.999, scale_supervision_weight=0.5),
     ),
     # FC-DenseNet: +13.4 dB / SSIM .92 at 219 ms (HBM-traffic-bound; see
     # STATUS_R2 findings).

@@ -42,18 +42,23 @@ Array = jax.Array
 
 
 def _smooth_field(key: Array, h: int, w: int, c: int, octaves: int = 4,
-                  base_freq: float = 2.0) -> Array:
+                  base_freq: float = 2.0, t=0.0) -> Array:
+    """Band-limited sinusoid field. `t` drifts each octave's phase at a
+    key-determined velocity — the SAME key at different t gives a
+    temporally coherent animation (BASELINE config #5's drift source)."""
     yy = jnp.linspace(0.0, 1.0, h)[:, None, None]
     xx = jnp.linspace(0.0, 1.0, w)[None, :, None]
     out = jnp.zeros((h, w, c))
     total = 0.0
     amp = 1.0
     for o in range(octaves):
-        key, k1, k2, k3 = jax.random.split(key, 4)
+        key, k1, k2, k3, k4 = jax.random.split(key, 5)
         freq = base_freq * (2.0**o)
         fy = jax.random.uniform(k1, (1, 1, c), minval=-freq, maxval=freq)
         fx = jax.random.uniform(k2, (1, 1, c), minval=-freq, maxval=freq)
         ph = jax.random.uniform(k3, (1, 1, c), maxval=2 * jnp.pi)
+        vel = jax.random.uniform(k4, (1, 1, c), minval=-1.0, maxval=1.0)
+        ph = ph + vel * t
         out = out + amp * jnp.sin(2 * jnp.pi * (fy * yy + fx * xx) + ph)
         total += amp
         amp *= 0.55
@@ -63,24 +68,28 @@ def _smooth_field(key: Array, h: int, w: int, c: int, octaves: int = 4,
 def generate_clean_passes(
     key: Array, h: int, w: int,
     groups: Sequence[str] = LIGHT_GROUPS, hdr_scale: float = 4.0,
+    t=0.0,
 ) -> Dict[str, Array]:
+    """Fourier-family pass set; fixed key + varying `t` animates the scene
+    smoothly (static frames = any fixed t; the per-octave velocity draw
+    shifts this module's random stream relative to rounds 1-2)."""
     out: Dict[str, Array] = {}
     for g in groups:
         d_name, i_name, c_name = passes.group_passes(g)
         key, kc, km, kd, ki = jax.random.split(key, 5)
-        color = _smooth_field(kc, h, w, 3)
-        mask = _smooth_field(km, h, w, 1) > 0.85
+        color = _smooth_field(kc, h, w, 3, t=t)
+        mask = _smooth_field(km, h, w, 1, t=t) > 0.85
         color = jnp.where(mask, color * 0.01, color)
         out[c_name] = color
-        out[d_name] = hdr_scale * _smooth_field(kd, h, w, 3) ** 2.0
-        out[i_name] = 0.4 * hdr_scale * _smooth_field(ki, h, w, 3) ** 2.0
+        out[d_name] = hdr_scale * _smooth_field(kd, h, w, 3, t=t) ** 2.0
+        out[i_name] = 0.4 * hdr_scale * _smooth_field(ki, h, w, 3, t=t) ** 2.0
     key, ke, kv, kn, kz, ka = jax.random.split(key, 6)
-    out["emission"] = 0.2 * _smooth_field(ke, h, w, 3) ** 4.0
-    out["environment"] = 0.1 * _smooth_field(kv, h, w, 3)
-    n = _smooth_field(kn, h, w, 3) * 2.0 - 1.0
+    out["emission"] = 0.2 * _smooth_field(ke, h, w, 3, t=t) ** 4.0
+    out["environment"] = 0.1 * _smooth_field(kv, h, w, 3, t=t)
+    n = _smooth_field(kn, h, w, 3, t=t) * 2.0 - 1.0
     out["normal"] = n / jnp.maximum(jnp.linalg.norm(n, axis=-1, keepdims=True), 1e-6)
-    out["depth"] = 20.0 * _smooth_field(kz, h, w, 1) ** 1.5
-    out["alpha"] = jnp.clip(_smooth_field(ka, h, w, 1) * 1.6, 0.0, 1.0)
+    out["depth"] = 20.0 * _smooth_field(kz, h, w, 1, t=t) ** 1.5
+    out["alpha"] = jnp.clip(_smooth_field(ka, h, w, 1, t=t) * 1.6, 0.0, 1.0)
     out["combined"] = _recompose(out, groups)
     return out
 
