@@ -146,6 +146,23 @@ def main() -> None:
         f"| noisy input {p_noisy:.2f} dB | gain {p_den - p_noisy:+.2f} dB"
     )
 
+    # quality on the UNTOUCHED holdout family too (spheres — never trained
+    # on; VERDICT r2 item 1's reporting requirement)
+    from deepdenoiser_tpu.data import synthetic_spheres
+
+    h_clean = synthetic_spheres.generate_clean_passes(H, W, seed=0)
+    h_noisy = synthetic.add_mc_noise(h_clean, spp=4, seed=1)
+    h_frame = {k: jax.device_put(jnp.asarray(v)) for k, v in h_noisy.items()}
+    hp_den, hp_noisy, h_ssim = (
+        float(x) for x in quality(
+            params, h_frame, jax.device_put(jnp.asarray(h_clean["combined"]))
+        )
+    )
+    log(
+        f"holdout (spheres): denoised {hp_den:.2f} dB (SSIM {h_ssim:.4f}) "
+        f"| noisy input {hp_noisy:.2f} dB | gain {hp_den - hp_noisy:+.2f} dB"
+    )
+
     print(
         json.dumps(
             {

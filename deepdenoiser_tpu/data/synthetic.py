@@ -105,17 +105,25 @@ def add_mc_noise(
 ) -> Dict[str, np.ndarray]:
     """One noisy realization at `spp` samples/pixel.
 
-    Radiance passes get zero-mean, signal-proportional Gaussian noise with
-    std ∝ 1/sqrt(spp), clipped at 0 (radiance is non-negative). Albedo gets
-    a whisper of noise; normals/depth/alpha stay clean. The noisy combined
-    is re-recomposed from the noisy passes so the identity still holds.
+    Direct/indirect radiance passes get zero-mean, signal-proportional
+    Gaussian noise with std ∝ 1/sqrt(spp), clipped at 0 (radiance is
+    non-negative). Albedo gets a whisper of noise; normals/depth/alpha
+    stay clean — and so do EMISSION and ENVIRONMENT: in Cycles those
+    passes are (near-)deterministic evaluations (visible emitters /
+    background lookup), which is exactly why the recomposition pipeline
+    passes them through undenoised. Noising them here made the fixture
+    inconsistent with that contract and capped the measurable PSNR on
+    scenes with large sky/emitter regions (found via the r3 spheres
+    holdout: 48% sky pinned the whole-frame gain to +0.7 dB while the
+    geometry region gained +9 dB). The noisy combined is re-recomposed
+    from the noisy passes so the identity still holds.
     """
     rng = np.random.default_rng(seed)
     sigma = base_sigma / np.sqrt(float(spp))
     noisy: Dict[str, np.ndarray] = {}
     for name, x in clean.items():
         p = passes.get(name)
-        if p.kind is passes.PassKind.RADIANCE and name != "combined":
+        if p.role in (passes.Role.DIRECT, passes.Role.INDIRECT):
             noise = rng.standard_normal(x.shape).astype(np.float32)
             noisy[name] = np.maximum(x + sigma * (x + 0.05) * noise, 0.0)
         elif p.kind is passes.PassKind.COLOR:

@@ -255,13 +255,17 @@ def add_mc_noise(
     key: Array, clean: Dict[str, Array], spp: float,
     groups: Sequence[str] = LIGHT_GROUPS, base_sigma: float = 1.0,
 ) -> Dict[str, Array]:
+    # Noise model matches data/synthetic.add_mc_noise: only direct/indirect
+    # radiance is MC-noisy; emission/environment are (near-)deterministic in
+    # Cycles and pass through the recomposition undenoised, so the fixture
+    # keeps them clean (see the numpy twin's docstring for the r3 history).
     sigma = base_sigma / jnp.sqrt(spp)
     noisy: Dict[str, Array] = {}
     for name in sorted(clean):
         x = clean[name]
         p = passes.get(name)
         key, k = jax.random.split(key)
-        if p.kind is passes.PassKind.RADIANCE and name != "combined":
+        if p.role in (passes.Role.DIRECT, passes.Role.INDIRECT):
             noise = jax.random.normal(k, x.shape)
             noisy[name] = jnp.maximum(x + sigma * (x + 0.05) * noise, 0.0)
         elif p.kind is passes.PassKind.COLOR:
