@@ -31,6 +31,10 @@ class ModelConfig:
     kpn_size: int = 5
     kpn_slots: int = 2  # e.g. direct + indirect
     kpn_pallas: bool = False  # VMEM filter apply instead of im2col patches
+    # RMS-normalize kernel logits + bounded learned temperature (r3 KPN
+    # stability fix — see models/kpn.py docstring). New param 'kernel_temp',
+    # so default-False keeps pre-r3 checkpoints loadable.
+    kpn_logit_norm: bool = False
     # Predict a correction to the noisy encoded signal instead of the signal:
     # out = net(x) + signal_channels(x). Untrained nets start near-identity
     # and training strictly improves on the input. Signal channels are
@@ -114,7 +118,8 @@ class DenoiserModel(nn.Module):
             signal = x[..., : 3 * cfg.kpn_slots]
             head = kpn.KernelPredictionHead(
                 net, kernel_size=cfg.kpn_size, n_slots=cfg.kpn_slots,
-                use_pallas=cfg.kpn_pallas, dtype=cfg.dtype,
+                use_pallas=cfg.kpn_pallas, logit_norm=cfg.kpn_logit_norm,
+                dtype=cfg.dtype,
             )
             # KPN filters the *linear-domain* signal; callers pass encoded
             # (log-demod) channels, filter there — convex combos in log space

@@ -16,6 +16,7 @@ from typing import Any
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 from flax import linen as nn
 
 Array = jax.Array
@@ -61,14 +62,31 @@ class KernelPredictionHead(nn.Module):
     the noisy signal to filter (the rest are auxiliary features). If the
     signal is a stack of passes (e.g. demod direct + indirect = 6ch), one
     kernel field is predicted per 3-channel slot (`n_slots`).
+
+    `logit_norm` (round-3 stability fix): RMS-normalize the logits over the
+    kernel axis and scale by a bounded learned temperature before the
+    softmax. Two independent 40k mixed-corpus runs collapsed the same way
+    without it: the un-normalized backbone drifted into an activation
+    explosion (logits reached ±2.5e12), the softmax saturated exactly
+    one-hot in fp32, gradients through the head became exactly zero, and
+    the model froze permanently at box-blur/passthrough quality. RMS
+    normalization makes the head invariant to backbone activation scale —
+    the cliff cannot exist — and the sigmoid-bounded temperature
+    (τ ∈ (0, 16), init 3) keeps kernel sharpness learnable without ever
+    underflowing the softmax. Off by default so pre-r3 checkpoints (no
+    temperature param) keep loading.
     """
 
     backbone: nn.Module
     kernel_size: int = 5
     n_slots: int = 1
     use_pallas: bool = False  # VMEM filter apply (ops/kpn_pallas.py)
+    logit_norm: bool = False
     dtype: Any = jnp.float32
     param_dtype: Any = jnp.float32
+
+    TEMP_MAX = 16.0
+    TEMP_INIT = 3.0
 
     @nn.compact
     def __call__(self, x: Array, signal: Array) -> Array:
@@ -86,9 +104,22 @@ class KernelPredictionHead(nn.Module):
         assert signal.shape[-1] == 3 * self.n_slots, (
             f"signal must have {3 * self.n_slots} channels, got {signal.shape[-1]}"
         )
+        if self.logit_norm:
+            # init so sigmoid(t0) * TEMP_MAX == TEMP_INIT
+            t0 = float(np.log(self.TEMP_INIT / (self.TEMP_MAX - self.TEMP_INIT)))
+            t_raw = self.param(
+                "kernel_temp",
+                nn.initializers.constant(t0),
+                (self.n_slots,),
+                jnp.float32,
+            )
+            taus = self.TEMP_MAX * jax.nn.sigmoid(t_raw)
         outs = []
         for s in range(self.n_slots):
             logits = feats[..., s * k2 : (s + 1) * k2].astype(jnp.float32)
+            if self.logit_norm:
+                rms = jnp.sqrt(jnp.mean(logits * logits, axis=-1, keepdims=True) + 1e-8)
+                logits = logits / rms * taus[s]
             weights = jax.nn.softmax(logits, axis=-1)
             outs.append(
                 apply_kernels(

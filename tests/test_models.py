@@ -176,6 +176,72 @@ def test_kpn_delta_weights_is_identity():
     np.testing.assert_allclose(np.asarray(y), np.asarray(x), atol=1e-6)
 
 
+def test_kpn_logit_norm_scale_invariant():
+    """The r3 stability fix: the head's output must be invariant to the
+    backbone's activation scale, so an activation explosion (observed
+    logits of ±2.5e12 in two collapsed mixed-corpus runs) cannot saturate
+    the softmax or kill gradients."""
+    from flax import linen as nn
+
+    class ScaledBackbone(nn.Module):
+        scale: float
+        k2: int
+
+        @nn.compact
+        def __call__(self, x):
+            h = nn.Conv(self.k2, (3, 3))(x)
+            return h * self.scale
+
+    k = 3
+    x = jax.random.normal(jax.random.PRNGKey(0), (1, 16, 16, 7))
+    sig = x[..., :3]
+
+    outs = {}
+    for scale in (1.0, 1e12):
+        head = kpn.KernelPredictionHead(
+            ScaledBackbone(scale, k * k), kernel_size=k, n_slots=1,
+            logit_norm=True,
+        )
+        params = head.init(jax.random.PRNGKey(1), x, sig)
+        # same conv weights regardless of scale (init is scale-independent)
+        outs[scale] = head.apply(params, x, sig)
+
+        # gradients stay finite and nonzero at the extreme scale
+        def loss(p):
+            return jnp.abs(head.apply(p, x, sig)).mean()
+
+        g = jax.grad(loss)(params)
+        norms = [float(jnp.abs(v).max()) for v in jax.tree_util.tree_leaves(g)]
+        assert all(np.isfinite(n) for n in norms)
+        assert max(norms) > 0
+
+    np.testing.assert_allclose(
+        np.asarray(outs[1.0]), np.asarray(outs[1e12]), atol=1e-5
+    )
+
+
+def test_kpn_logit_norm_param_gating():
+    """Default-off keeps the pre-r3 checkpoint pytree (no kernel_temp)."""
+    cfg_off = tiny_unet_cfg(kernel_prediction=True, kpn_size=3, kpn_slots=2)
+    cfg_on = tiny_unet_cfg(
+        kernel_prediction=True, kpn_size=3, kpn_slots=2, kpn_logit_norm=True
+    )
+    p_off = factory.init_params(cfg_off, jax.random.PRNGKey(0), spatial=16)
+    p_on = factory.init_params(cfg_on, jax.random.PRNGKey(0), spatial=16)
+    flat_off = jax.tree_util.tree_leaves_with_path(p_off)
+    flat_on = jax.tree_util.tree_leaves_with_path(p_on)
+    names_off = {jax.tree_util.keystr(k) for k, _ in flat_off}
+    names_on = {jax.tree_util.keystr(k) for k, _ in flat_on}
+    extra = names_on - names_off
+    assert len(extra) == 1 and "kernel_temp" in next(iter(extra))
+    # temperature initializes to TEMP_INIT
+    (temp,) = [v for k, v in flat_on if "kernel_temp" in jax.tree_util.keystr(k)]
+    tau = kpn.KernelPredictionHead.TEMP_MAX * jax.nn.sigmoid(temp)
+    np.testing.assert_allclose(
+        np.asarray(tau), kpn.KernelPredictionHead.TEMP_INIT, rtol=1e-5
+    )
+
+
 def test_nearest_upsample_and_avg_downsample_inverse():
     rng = np.random.default_rng(2)
     x = jnp.asarray(rng.random((2, 4, 4, 3)).astype(np.float32))

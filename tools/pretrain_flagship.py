@@ -52,6 +52,9 @@ KPN = ModelConfig(  # C14: per-pixel 5x5 filter prediction, group mode
     out_channels=6, base_width=48, depth=3, convs_per_level=2,
     kernel_prediction=True, kpn_size=5, kpn_slots=2, act="leaky_relu",
     compute_dtype="bfloat16",
+    # r3: two mixed-corpus runs collapsed via softmax saturation without
+    # this (models/kpn.py docstring)
+    kpn_logit_norm=True,
 )
 # r2 quality finding: TIRAMISU beat the UNet flagship by ~8 dB at 40k
 # steps. TIRAMISU_S2D runs the same dense stack at half resolution
