@@ -204,12 +204,11 @@ def build_parser() -> argparse.ArgumentParser:
                                 description="TPU-native Monte-Carlo render denoiser")
     sub = p.add_subparsers(dest="command", required=True)
 
+    from deepdenoiser_tpu import config as config_lib
+
     def common(sp):
         sp.add_argument("--config", help="experiment config JSON")
-        sp.add_argument("--preset", choices=["flagship", "flagship-hq",
-                                             "flagship-max", "flagship-flags",
-                                             "unet-small", "unet-multiscale",
-                                             "tiramisu", "kpn"])
+        sp.add_argument("--preset", choices=sorted(config_lib.PRESETS))
 
     sp = sub.add_parser("prepare-data", help="EXR render root -> training shards")
     common(sp)

@@ -238,6 +238,21 @@ PRESETS: Dict[str, ExperimentConfig] = {
         train=TrainConfig(ema_decay=0.999),
         infer=InferenceConfig(border=32),
     ),
+    # r3: FC-DenseNet with 1x1-bottlenecked up-path concats (the fix for
+    # the r2 HBM-traffic diagnosis). The round-3 quality champion at 0.64M
+    # params: +14.6/+13.2 dB on the training families, +8.2 dB / SSIM .96
+    # on the untouched spheres holdout (STATUS_R3 ladder).
+    "tiramisu-fast": ExperimentConfig(
+        name="tiramisu-fast",
+        model=ModelConfig(
+            backbone="tiramisu", growth_rate=16, layers_per_block=4, depth=3,
+            up_compress=64,
+            compute_dtype="bfloat16", predict_residual=True, act="leaky_relu",
+        ),
+        data=DataConfig(mode="joint"),
+        train=TrainConfig(ema_decay=0.999),
+        infer=InferenceConfig(border=32),
+    ),
     "kpn": ExperimentConfig(
         name="kpn",
         model=ModelConfig(
