@@ -197,13 +197,16 @@ PRESETS: Dict[str, ExperimentConfig] = {
         train=TrainConfig(ema_decay=0.999),
         infer=InferenceConfig(border=32),
     ),
-    # flagship-max: KPCN kernel prediction — the quality ceiling
-    # (+14.2 dB, SSIM .93 at 335 ms; group mode, applied per light group).
+    # flagship-max: KPCN kernel prediction — the best holdout generalizer
+    # (r3 mixed corpus: +13.2 dB train / +9.1 dB on the untouched spheres
+    # holdout, SSIM .96; group mode, applied per light group).
+    # kpn_logit_norm matches the shipped r3 weights (models/kpn.py).
     "flagship-max": ExperimentConfig(
         name="flagship-max",
         model=ModelConfig(
             backbone="unet", base_width=48, depth=3, convs_per_level=2,
             kernel_prediction=True, kpn_size=5, kpn_slots=2,
+            kpn_logit_norm=True,
             compute_dtype="bfloat16", act="leaky_relu",
         ),
         data=DataConfig(mode="group"),
@@ -257,7 +260,8 @@ PRESETS: Dict[str, ExperimentConfig] = {
         name="kpn",
         model=ModelConfig(
             backbone="unet", base_width=48, depth=3, kernel_prediction=True,
-            kpn_size=5, kpn_slots=2, compute_dtype="bfloat16", act="leaky_relu",
+            kpn_size=5, kpn_slots=2, kpn_logit_norm=True,
+            compute_dtype="bfloat16", act="leaky_relu",
         ),
         data=DataConfig(mode="group"),
         train=TrainConfig(ema_decay=0.999),

@@ -74,6 +74,10 @@ UNET_FULLRES = ModelConfig(
     convs_per_level=2, stem_stride=1, act="leaky_relu",
     compute_dtype="bfloat16", predict_residual=True,
 )
+# r3 latency push (VERDICT item 3): flagship-hq moves ~40 GB/frame at
+# 1080p (HBM-bound, SOL 49.6 ms vs 83.1 measured). Bytes scale ~linearly
+# with base_width at stride 1, so bw48 targets ~30 GB -> ~55-65 ms.
+UNET_FULLRES_48 = dataclasses.replace(UNET_FULLRES, base_width=48)
 # r3: tiramisu with bounded up-path concats (1x1 bottlenecks) — the fix
 # for the r2 HBM-traffic diagnosis (30.8 GB/768^2 frame; VERDICT item 4).
 TIRAMISU_FAST = dataclasses.replace(TIRAMISU, up_compress=64)
@@ -82,6 +86,7 @@ MODELS = {
     "multiscale": MULTISCALE, "tiramisu": TIRAMISU, "kpn": KPN,
     "tiramisu-s2d": TIRAMISU_S2D, "unet-fullres": UNET_FULLRES,
     "tiramisu-fast": TIRAMISU_FAST,
+    "flagship-hq-48": UNET_FULLRES_48,
     # the shipped 150k-step production-quality model (config PRESETS
     # 'flagship-hq'): same arch as unet-fullres
     "flagship-hq": UNET_FULLRES,

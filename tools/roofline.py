@@ -86,19 +86,29 @@ def main() -> int:
     flops = float(ca.get("flops", 0.0))
     bytes_hbm = float(ca.get("bytes accessed", 0.0))
 
-    # measured latency: chained calls, one scalar fetch (bench.py method)
+    # measured latency: chained calls, one scalar fetch (bench.py method);
+    # median of 5 samples — a single (t1, tk) pair occasionally lands while
+    # the device stream is still draining and under-measures badly (one r3
+    # sample said 31 ms for a program eval_zoo's median put at 83 ms)
+    import numpy as np
+
     s = jfn(params, frame, jnp.zeros(()))
     float(s)
-    t0 = time.perf_counter()
     s = jfn(params, frame, s * 1e-30)
     float(s)
-    t1 = time.perf_counter() - t0
-    t0 = time.perf_counter()
-    for _ in range(args.chain):
+    samples = []
+    for _ in range(5):
+        t0 = time.perf_counter()
         s = jfn(params, frame, s * 1e-30)
-    float(s)
-    tk = time.perf_counter() - t0
-    sec = max((tk - t1) / (args.chain - 1), 1e-9)
+        float(s)
+        t1 = time.perf_counter() - t0
+        t0 = time.perf_counter()
+        for _ in range(args.chain):
+            s = jfn(params, frame, s * 1e-30)
+        float(s)
+        tk = time.perf_counter() - t0
+        samples.append((tk - t1) / (args.chain - 1))
+    sec = max(float(np.median(samples)), 1e-9)
     if args.measured_ms > 0:
         sec = args.measured_ms / 1e3
 
