@@ -78,6 +78,12 @@ UNET_FULLRES = ModelConfig(
 # 1080p (HBM-bound, SOL 49.6 ms vs 83.1 measured). Bytes scale ~linearly
 # with base_width at stride 1, so bw48 targets ~30 GB -> ~55-65 ms.
 UNET_FULLRES_48 = dataclasses.replace(UNET_FULLRES, base_width=48)
+# ...measured: bw48 is 84.1 ms vs bw64's 82.6 — latency is FLAT in width
+# below the 128-lane tile (HBM bytes barely moved: 40.0 vs 40.6 GB).
+# Probe the other direction: if bw96/bw128 stay near ~84 ms, the wider
+# model's extra FLOPs are free quality (tools/roofline.py, random init).
+UNET_FULLRES_96 = dataclasses.replace(UNET_FULLRES, base_width=96)
+UNET_FULLRES_128 = dataclasses.replace(UNET_FULLRES, base_width=128)
 # r3: tiramisu with bounded up-path concats (1x1 bottlenecks) — the fix
 # for the r2 HBM-traffic diagnosis (30.8 GB/768^2 frame; VERDICT item 4).
 TIRAMISU_FAST = dataclasses.replace(TIRAMISU, up_compress=64)
@@ -87,6 +93,8 @@ MODELS = {
     "tiramisu-s2d": TIRAMISU_S2D, "unet-fullres": UNET_FULLRES,
     "tiramisu-fast": TIRAMISU_FAST,
     "flagship-hq-48": UNET_FULLRES_48,
+    "flagship-hq-96": UNET_FULLRES_96,
+    "flagship-hq-128": UNET_FULLRES_128,
     # the shipped 150k-step production-quality model (config PRESETS
     # 'flagship-hq'): same arch as unet-fullres
     "flagship-hq": UNET_FULLRES,
