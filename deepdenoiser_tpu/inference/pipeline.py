@@ -29,9 +29,21 @@ from deepdenoiser_tpu.parallel import halo as halo_lib
 Array = jax.Array
 
 
-def _make_apply(model_cfg: ModelConfig, params, compute_dtype: str):
+def _make_apply(
+    model_cfg: ModelConfig, params, compute_dtype: str, kpn_pallas: bool = False
+):
+    # kpn_pallas: inference-time swap to the Pallas VMEM filter apply
+    # (bit-exact, 4.8x the XLA shift-accumulate on v5e; no VJP, so the
+    # training path never sets it). TPU-only: off-TPU the kernel would run
+    # in slow interpret mode, so the XLA path stays.
+    if jax.default_backend() != "tpu":
+        kpn_pallas = False
     model = factory.build_model(
-        dataclasses.replace(model_cfg, compute_dtype=compute_dtype)
+        dataclasses.replace(
+            model_cfg,
+            compute_dtype=compute_dtype,
+            kpn_pallas=model_cfg.kpn_pallas or kpn_pallas,
+        )
     )
     def apply_fn(x: Array) -> Array:
         return model.apply(params, x)
@@ -90,7 +102,7 @@ def make_group_frame_denoiser(
 
     @jax.jit
     def denoise(params, pass_dict: Mapping[str, Array]) -> Dict[str, Array]:
-        apply_fn = _make_apply(model_cfg, params, infer_cfg.compute_dtype)
+        apply_fn = _make_apply(model_cfg, params, infer_cfg.compute_dtype, infer_cfg.kpn_pallas)
         if spatial:
             frame_fn = halo_lib.make_spatial_apply_batched(
                 apply_fn, mesh, height, width,
@@ -162,7 +174,7 @@ def make_joint_frame_denoiser(
 
     @jax.jit
     def denoise(params, pass_dict: Mapping[str, Array]) -> Dict[str, Array]:
-        apply_fn = _make_apply(model_cfg, params, infer_cfg.compute_dtype)
+        apply_fn = _make_apply(model_cfg, params, infer_cfg.compute_dtype, infer_cfg.kpn_pallas)
         pd = dict(pass_dict)
         present = groups
         if use_flags:
@@ -229,7 +241,7 @@ def make_rgb_frame_denoiser(
 
     @jax.jit
     def denoise(params, pass_dict: Mapping[str, Array]) -> Dict[str, Array]:
-        apply_fn = _make_apply(model_cfg, params, infer_cfg.compute_dtype)
+        apply_fn = _make_apply(model_cfg, params, infer_cfg.compute_dtype, infer_cfg.kpn_pallas)
         frame_fn = tiled.make_tiled_apply(
             apply_fn, grid, 3, tile_batch=infer_cfg.tile_batch, batch_dims=0,
             feather=infer_cfg.stitch == "feather",

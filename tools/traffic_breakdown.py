@@ -1,0 +1,166 @@
+"""Where do the flagship-hq frame's HBM bytes go? (VERDICT r2 item 3 /
+r3 latency push: roofline says ~40 GB/frame, a hand model of the conv
+stack says ~6 GB — find the gap before optimizing the wrong thing.)
+
+Bisects the jitted frame program into stages (encode -> net -> decode/
+recompose), compiles each on the TPU backend, and reports XLA cost
+analysis (flops, bytes) per stage plus the top optimized-HLO ops by
+output buffer size for the full program.
+
+    python tools/traffic_breakdown.py [--model flagship-hq] [--height 1080]
+"""
+
+from __future__ import annotations
+
+import argparse
+import re
+import sys
+from collections import defaultdict
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parents[1]))
+
+import jax
+import jax.numpy as jnp
+
+
+def cost(fn, *args):
+    c = jax.jit(fn).lower(*args).compile()
+    ca = c.cost_analysis()
+    ca = ca[0] if isinstance(ca, (list, tuple)) else ca
+    return c, float(ca.get("flops", 0)), float(ca.get("bytes accessed", 0))
+
+
+_SHAPE = re.compile(r"(bf16|f32|f16|s32|u32|s8|u8|pred)\[([\d,]*)\]")
+
+_BYTES = {"bf16": 2, "f32": 4, "f16": 2, "s32": 4, "u32": 4, "s8": 1,
+          "u8": 1, "pred": 1}
+
+
+def shape_bytes(m: re.Match) -> int:
+    dims = m.group(2)
+    n = 1
+    for d in dims.split(","):
+        if d:
+            n *= int(d)
+    return n * _BYTES[m.group(1)]
+
+
+def top_ops(compiled, k=25):
+    """Aggregate optimized-HLO instruction OUTPUT bytes by op kind.
+
+    Output-buffer bytes are a lower bound on that op's traffic (each
+    operand was itself some op's output) — good enough to rank hogs."""
+    txt = compiled.as_text()
+    agg = defaultdict(lambda: [0, 0])  # kind -> [bytes, count]
+    rows = []
+    for line in txt.splitlines():
+        line = line.strip()
+        m = re.match(r"(?:ROOT )?%?[\w.-]+ = \(?((?:bf16|f32|f16|s32|u32|s8|u8|pred)\[[\d,]*\])", line)
+        if not m:
+            continue
+        kind_m = re.search(r"= \(?[^=]*?\]\{?[^ ]* ([a-z-]+)\(", line)
+        kind = kind_m.group(1) if kind_m else "?"
+        first = _SHAPE.search(m.group(1))
+        b = shape_bytes(first)
+        # fusions: name the fused root op for readability
+        if kind == "fusion":
+            fm = re.search(r"calls=%?([\w.-]+)", line)
+            kind = f"fusion:{fm.group(1).split('.')[0] if fm else '?'}"
+        agg[kind][0] += b
+        agg[kind][1] += 1
+        rows.append((b, kind, line[:110]))
+    rows.sort(reverse=True)
+    return agg, rows[:k]
+
+
+def main() -> int:
+    p = argparse.ArgumentParser(description=__doc__)
+    p.add_argument("--model", default="flagship-hq")
+    p.add_argument("--height", type=int, default=1080)
+    p.add_argument("--width", type=int, default=1920)
+    p.add_argument("--border", type=int, default=-1)
+    p.add_argument("--top", type=int, default=25)
+    args = p.parse_args()
+
+    from tools.pretrain_flagship import MODELS
+    from deepdenoiser_tpu import transforms
+    from deepdenoiser_tpu.config import InferenceConfig
+    from deepdenoiser_tpu.inference import pipeline, tiled
+    from deepdenoiser_tpu.models import factory
+
+    mcfg = MODELS[args.model]
+    H, W = args.height, args.width
+    params = factory.init_params(mcfg, jax.random.PRNGKey(0), spatial=64)
+    icfg = InferenceConfig(tile=0, border=args.border,
+                           compute_dtype="bfloat16")
+    denoise, grid = pipeline.make_joint_frame_denoiser(mcfg, icfg, H, W)
+    print(f"grid: {grid}", file=sys.stderr)
+
+    # synthetic frame, host-side (we only compile, never run)
+    from deepdenoiser_tpu.data import synthetic
+
+    noisy = synthetic.add_mc_noise(
+        synthetic.generate_clean_passes(H, W, seed=0), spp=4, seed=1
+    )
+    frame = {k: jnp.asarray(v) for k, v in noisy.items()}
+
+    # ---- stage bisect -----------------------------------------------------
+    def encode(pd):
+        return transforms.encode_joint_inputs(pd, scales=None)
+
+    enc = jax.eval_shape(encode, frame)
+    enc_arr = jnp.zeros(enc.shape, enc.dtype)
+
+    apply_fn = pipeline._make_apply(mcfg, params, "bfloat16")
+    frame_fn = tiled.make_tiled_apply(
+        apply_fn, grid, transforms.joint_output_channels()
+    )
+
+    def net(e):
+        return frame_fn(e)
+
+    dec_shape = jax.eval_shape(net, enc_arr)
+    dec_arr = jnp.zeros(dec_shape.shape, dec_shape.dtype)
+
+    def decode(d, pd):
+        decoded = transforms.decode_joint_outputs(d, pd, scales=None)
+        out = dict(decoded)
+        from deepdenoiser_tpu import passes
+
+        for g in passes.LIGHT_GROUPS:
+            out[passes.group_passes(g)[2]] = pd[passes.group_passes(g)[2]]
+        for extra in passes.COMPOSITE_EXTRA + ("alpha",):
+            if extra in pd:
+                out[extra] = pd[extra]
+        return transforms.recompose(out)
+
+    def full(params, pd):
+        return denoise(params, pd)["combined"].sum()
+
+    stages = []
+    _, f, b = cost(encode, frame)
+    stages.append(("encode", f, b))
+    cnet, f, b = cost(net, enc_arr)
+    stages.append(("net", f, b))
+    _, f, b = cost(decode, dec_arr, frame)
+    stages.append(("decode+recompose", f, b))
+    cfull, f, b = cost(full, params, frame)
+    stages.append(("FULL pipeline", f, b))
+
+    print(f"{'stage':<18} {'GFLOP':>9} {'GB':>8}")
+    for name, f, b in stages:
+        print(f"{name:<18} {f/1e9:9.1f} {b/1e9:8.2f}")
+
+    agg, rows = top_ops(cfull, args.top)
+    print("\noutput-buffer bytes by op kind (FULL program):")
+    for kind, (b, n) in sorted(agg.items(), key=lambda kv: -kv[1][0])[:20]:
+        print(f"  {kind:<28} {b/1e9:8.2f} GB  x{n}")
+    print(f"\ntop {args.top} single ops by output bytes:")
+    for b, kind, line in rows:
+        print(f"  {b/1e9:6.2f} GB  {line}")
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
