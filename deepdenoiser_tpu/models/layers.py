@@ -30,6 +30,9 @@ Dtype = Any
 
 ACTIVATIONS: dict[str, Callable[[Array], Array]] = {
     "relu": nn.relu,
+    # NOTE: the iota/select_n ops traffic_breakdown attributes to this
+    # where-based lowering are fully fused on TPU — replacing it with the
+    # exactly-equal max(x, 0.2x) measured latency-neutral at 1080p.
     "leaky_relu": lambda x: nn.leaky_relu(x, negative_slope=0.2),
     "elu": nn.elu,
     "gelu": nn.gelu,
@@ -127,31 +130,129 @@ class RFState:
 # ---------------------------------------------------------------------------
 
 
+class _ManualConv(nn.Module):
+    """nn.Conv twin with the SAME param tree (scope/"kernel"/"bias", same
+    shapes and initializers) but explicit lax application, so callers can
+    transform how the kernel is applied without touching checkpoints.
+
+    Modes (all numerically equal to the nn.Conv they replace):
+      * split input pair: conv(concat(a, b), K) == conv(a, K[:, :, :Ca])
+        + conv(b, K[:, :, Ca:]) — removes the channel concatenate, whose
+        sub-128-lane offsets XLA lowers to iota/select masking passes over
+        full-resolution tensors (measured 40 GB/frame on the stride-1 UNet,
+        10x the conv bytes; tools/traffic_breakdown.py).
+      * subpixel x2 ("resize-conv" as sub-pixel conv): nearest-up(2) then
+        3x3 SAME conv == 3x3 SAME conv AT LOW RES emitting 4F channels
+        (sub-kernels K_r[s] = sum_t [floor((r+t-1)/2)==s] K[t] per axis)
+        followed by depth_to_space — all heavy work at quarter resolution,
+        and the 6-D broadcast layout the naive resize materializes never
+        exists. Exact incl. zero-SAME boundaries.
+    """
+
+    features: int
+    kernel: int
+    stride: int = 1
+    dtype: Dtype = jnp.float32
+    param_dtype: Dtype = jnp.float32
+    kernel_init: Callable = nn.initializers.lecun_normal()
+
+    @nn.compact
+    def __call__(self, xs, subpixel: bool = False) -> Array:
+        xs = (xs,) if isinstance(xs, jax.Array) else tuple(xs)
+        in_ch = sum(int(x.shape[-1]) for x in xs)
+        k = self.kernel
+        kern = self.param(
+            "kernel",
+            self.kernel_init,
+            (k, k, in_ch, self.features),
+            self.param_dtype,
+        )
+        bias = self.param(
+            "bias", nn.initializers.zeros_init(), (self.features,),
+            self.param_dtype,
+        )
+        dt = self.dtype
+        xs = tuple(x.astype(dt) for x in xs)
+        kern = kern.astype(dt)
+
+        def conv(x, kk):
+            return jax.lax.conv_general_dilated(
+                x, kk, (self.stride, self.stride), "SAME",
+                dimension_numbers=("NHWC", "HWIO", "NHWC"),
+            )
+
+        if subpixel:
+            assert k == 3 and self.stride == 1, "subpixel mode is 3x3/s1"
+            # m[r, t, s]: does tap t of the high-res kernel read low-res
+            # offset s-1 for output parity r? (nearest-up duplication)
+            m = np.zeros((2, 3, 3), np.float32)
+            m[0, 0, 0] = m[0, 1, 1] = m[0, 2, 1] = 1.0
+            m[1, 0, 1] = m[1, 1, 1] = m[1, 2, 2] = 1.0
+            mj = jnp.asarray(m, dt)
+            off = 0
+            out = None
+            for x in xs:
+                cx = x.shape[-1]
+                # (s, x, c, r, q, f) -> kernel (s, x, c, 4F) with channel
+                # blocks ordered (r*2+q)*F + f for depth_to_space
+                ksub = jnp.einsum(
+                    "rts,qux,tucf->sxcrqf", mj, mj,
+                    kern[:, :, off : off + cx, :],
+                ).reshape(k, k, cx, 4 * self.features)
+                y = conv(x, ksub)
+                out = y if out is None else out + y
+                off += cx
+            out = depth_to_space(out, 2)
+        else:
+            out = None
+            off = 0
+            for x in xs:
+                cx = x.shape[-1]
+                y = conv(x, kern[:, :, off : off + cx, :])
+                out = y if out is None else out + y
+                off += cx
+        return out + bias.astype(dt)
+
+
 class ConvBlock(nn.Module):
-    """kxk conv + bias + activation. XLA fuses the chain into one kernel."""
+    """kxk conv + bias + activation. XLA fuses the chain into one kernel.
+
+    `x` may be a tuple of tensors — treated exactly as their channel
+    concatenation, applied concat-free via _ManualConv's kernel split."""
 
     features: int
     kernel: int = 3
     stride: int = 1
     act: str = "relu"
+    subpixel: bool = False  # x2 up via sub-pixel conv (see _ManualConv)
     dtype: Dtype = jnp.float32
     param_dtype: Dtype = jnp.float32
 
     @nn.compact
-    def __call__(self, x: Array) -> Array:
-        x = nn.Conv(
-            self.features,
-            (self.kernel, self.kernel),
-            strides=(self.stride, self.stride),
-            padding="SAME",
-            dtype=self.dtype,
-            param_dtype=self.param_dtype,
-        )(x)
+    def __call__(self, x) -> Array:
+        if isinstance(x, jax.Array) and not self.subpixel:
+            x = nn.Conv(
+                self.features,
+                (self.kernel, self.kernel),
+                strides=(self.stride, self.stride),
+                padding="SAME",
+                dtype=self.dtype,
+                param_dtype=self.param_dtype,
+            )(x)
+        else:  # tuple input and/or subpixel: manual kernel application
+            x = _ManualConv(
+                self.features, self.kernel, self.stride,
+                dtype=self.dtype, param_dtype=self.param_dtype,
+                name="Conv_0",
+            )(x, subpixel=self.subpixel)
         return activation(self.act)(x)
 
 
 class ConvStack(nn.Module):
-    """n_convs back-to-back ConvBlocks at fixed width."""
+    """n_convs back-to-back ConvBlocks at fixed width.
+
+    The first block accepts a tuple input (e.g. (upsampled, skip)) and
+    consumes it concat-free — see _ManualConv."""
 
     features: int
     n_convs: int = 2
@@ -161,7 +262,7 @@ class ConvStack(nn.Module):
     param_dtype: Dtype = jnp.float32
 
     @nn.compact
-    def __call__(self, x: Array) -> Array:
+    def __call__(self, x) -> Array:
         for _ in range(self.n_convs):
             x = ConvBlock(
                 self.features, self.kernel, act=self.act,
@@ -197,18 +298,35 @@ def nearest_upsample(x: Array, factor: int = 2) -> Array:
 
 
 class UpSample(nn.Module):
-    """Nearest-resize + conv upsample (no checkerboard artifacts)."""
+    """Nearest-resize + conv upsample (no checkerboard artifacts).
+
+    For the standard 3x3/x2 case this computes the IDENTICAL function as
+    a sub-pixel conv at low resolution + pixel shuffle (_ManualConv
+    subpixel mode): the naive resize-then-conv materializes full-res
+    6-D broadcast layouts that dominated the stride-1 UNet's HBM traffic
+    (tools/traffic_breakdown.py). Same param tree either way, so
+    checkpoints are interchangeable; `subpixel=False` restores the naive
+    lowering for A/B measurement."""
 
     features: int
     kernel: int = 3
     act: str = "relu"
     factor: int = 2
+    subpixel: bool = True
     dtype: Dtype = jnp.float32
     param_dtype: Dtype = jnp.float32
 
     @nn.compact
-    def __call__(self, x: Array) -> Array:
-        x = nearest_upsample(x, self.factor)
+    def __call__(self, x) -> Array:
+        if self.subpixel and self.kernel == 3 and self.factor == 2:
+            return ConvBlock(
+                self.features, self.kernel, act=self.act, subpixel=True,
+                dtype=self.dtype, param_dtype=self.param_dtype,
+            )(x)
+        if isinstance(x, jax.Array):
+            x = nearest_upsample(x, self.factor)
+        else:  # tuple input (concat-free): upsample each part
+            x = tuple(nearest_upsample(t, self.factor) for t in x)
         return ConvBlock(
             self.features, self.kernel, act=self.act,
             dtype=self.dtype, param_dtype=self.param_dtype,

@@ -1,9 +1,13 @@
 """FC-DenseNet "Tiramisu" backbone (upstream: TensorFlow/Tiramisu.py — SURVEY.md C12).
 
 Dense blocks + transition down/up, the '100-layers Tiramisu' family as the
-alternative backbone to the U-Net. Channel-concat dense connectivity is
-cheap on TPU (concats fuse into the consuming conv's im2col); transitions
-use 1x1 conv + 2x2 avg-pool down and resize-conv up.
+alternative backbone to the U-Net. Dense connectivity is CONCAT-FREE on
+TPU: feature maps flow as tuples and every conv applies its kernel split
+along input channels (layers._ManualConv) — numerically identical to the
+channel concatenate with the identical param tree, but the quadratically
+many concat materializations (the r2 roofline's diagnosed HBM bottleneck,
+30.8 GB per 768^2 frame) never hit HBM. Transitions use 1x1 conv +
+2x2 avg-pool down and sub-pixel resize-conv up.
 """
 
 from __future__ import annotations
@@ -39,6 +43,15 @@ class TiramisuSpec:
     # (30.8 GB per 768^2 frame); 1x1 bottlenecks cut the full-res traffic
     # without touching the receptive field (VERDICT r2 item 4).
     up_compress: int = 0
+    # Flow features as tuples + kernel-split convs instead of channel
+    # concats (identical math & param tree either way). MEASURED SLOWER on
+    # v5e for the dense stack — tiramisu-fast 1080p: 191.9 ms concat-free
+    # vs 153.8 ms with concats — because splitting a dense layer's conv
+    # into many narrow (16-ch) convs starves the 128-lane MXU, while XLA
+    # fuses the concat into the consumer conv's im2col anyway. Kept as a
+    # measured A/B switch; contrast with the UNet decoder where ONE wide
+    # concat per level made the split a win (models/unet.py).
+    concat_free: bool = False
 
     def rf_state(self, s: RFState = RFState()) -> RFState:
         k, n = self.kernel, self.layers_per_block
@@ -67,6 +80,24 @@ class TiramisuSpec:
         return 2**self.depth * self.stem_stride
 
 
+def _channels(x) -> int:
+    """Channel count of a tensor or of a tuple's virtual concatenation."""
+    if isinstance(x, jax.Array):
+        return int(x.shape[-1])
+    return sum(int(t.shape[-1]) for t in x)
+
+
+def _join(concat_free: bool, *parts):
+    """Dense-connectivity join: a tuple (kernel-split consumption, no
+    concat buffer) or a real channel concat — numerically identical."""
+    flat: List[Array] = []
+    for p in parts:
+        flat.extend(p) if isinstance(p, tuple) else flat.append(p)
+    if concat_free:
+        return tuple(flat)
+    return flat[0] if len(flat) == 1 else jnp.concatenate(flat, axis=-1)
+
+
 class DenseBlock(nn.Module):
     growth_rate: int
     n_layers: int
@@ -74,19 +105,24 @@ class DenseBlock(nn.Module):
     act: str
     dtype: Any
     param_dtype: Any
+    concat_free: bool = False
 
     @nn.compact
-    def __call__(self, x: Array) -> Array:
-        """Returns concat of the n_layers new feature maps (not the input)."""
+    def __call__(self, x):
+        """Returns the n_layers new feature maps joined (not the input).
+
+        Each layer consumes (x, f_1, .., f_{i-1}); with `concat_free` the
+        join is a tuple consumed via ConvBlock's kernel split — identical
+        math and param tree as concatenating (see TiramisuSpec.concat_free
+        for the v5e measurement)."""
         feats: List[Array] = []
         for _ in range(self.n_layers):
-            inp = jnp.concatenate([x] + feats, axis=-1) if feats else x
             y = layers.ConvBlock(
                 self.growth_rate, self.kernel, act=self.act,
                 dtype=self.dtype, param_dtype=self.param_dtype,
-            )(inp)
+            )(_join(self.concat_free, x, *feats))
             feats.append(y)
-        return jnp.concatenate(feats, axis=-1)
+        return _join(self.concat_free, *feats)
 
 
 class Tiramisu(nn.Module):
@@ -110,36 +146,42 @@ class Tiramisu(nn.Module):
             x = layers.space_to_depth(x, 2)
 
         db = lambda t: DenseBlock(  # noqa: E731
-            spec.growth_rate, spec.layers_per_block, spec.kernel, spec.act, **kw
+            spec.growth_rate, spec.layers_per_block, spec.kernel, spec.act,
+            **kw, concat_free=spec.concat_free,
         )(t)
 
+        # With spec.concat_free, feature maps flow as tuples below — every
+        # jnp.concatenate the dense connectivity implies is applied
+        # virtually inside the next conv's kernel split
+        # (layers._ManualConv): identical function and param tree.
+        cf = spec.concat_free
         stem = layers.ConvBlock(spec.stem_width, spec.kernel, act=spec.act, **kw)(x)
-        x = jnp.concatenate([stem, db(stem)], axis=-1)
+        x = _join(cf, stem, db(stem))
 
         skips = []
         for _ in range(spec.depth):
             skips.append(x)
             # transition down: 1x1 conv compress + 2x2 avg pool
-            x = layers.ConvBlock(x.shape[-1] // 2, 1, act=spec.act, **kw)(x)
+            x = layers.ConvBlock(_channels(x) // 2, 1, act=spec.act, **kw)(x)
             x = layers.avg_downsample(x, 2)
-            x = jnp.concatenate([x, db(x)], axis=-1)
+            x = _join(cf, x, db(x))
 
         for skip in reversed(skips):
             # transition up: resize-conv to the skip's channel budget / 2
-            x = layers.UpSample(
-                max(spec.growth_rate * spec.layers_per_block, skip.shape[-1] // 2),
+            up = layers.UpSample(
+                max(spec.growth_rate * spec.layers_per_block, _channels(skip) // 2),
                 spec.kernel, spec.act, **kw,
             )(x)
-            x = jnp.concatenate([x, skip], axis=-1)
-            if spec.up_compress > 0 and x.shape[-1] > spec.up_compress:
+            x = _join(cf, up, skip)
+            if spec.up_compress > 0 and _channels(x) > spec.up_compress:
                 x = layers.ConvBlock(spec.up_compress, 1, act=spec.act, **kw)(x)
-            x = jnp.concatenate([x, db(x)], axis=-1)
+            x = _join(cf, x, db(x))
 
         head_ch = self.out_channels * (spec.stem_stride**2)
         head_kw = dict(dtype=self.dtype, param_dtype=self.param_dtype)
         if self.head_zero_init:
             head_kw["kernel_init"] = nn.initializers.zeros
-        out = nn.Conv(head_ch, (1, 1), **head_kw)(x)
+        out = layers._ManualConv(head_ch, 1, name="Conv_0", **head_kw)(x)
         if spec.stem_stride == 2:
             out = layers.depth_to_space(out, 2)
         return out.astype(jnp.float32)

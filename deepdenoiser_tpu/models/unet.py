@@ -122,11 +122,13 @@ class UNet(nn.Module):
             x = layers.DownSample(spec.width(level), spec.kernel, spec.act, **kw)(x)
             x = stack(x, spec.width(level))
 
-        # Decoder
+        # Decoder. The skip join is concat-FREE: the stack's first conv
+        # applies its kernel split along input channels (identical math;
+        # a channel concat at sub-128-lane offsets lowers to full-res
+        # iota/select masking on TPU — see layers._ManualConv).
         for level in range(spec.depth - 1, -1, -1):
             x = layers.UpSample(spec.width(level), spec.kernel, spec.act, **kw)(x)
-            x = jnp.concatenate([x, skips[level]], axis=-1)
-            x = stack(x, spec.width(level))
+            x = stack((x, skips[level]), spec.width(level))
 
         # Linear head, fp32 output for stable losses/inverse-transforms
         head_ch = self.out_channels * (spec.stem_stride**2)

@@ -379,3 +379,75 @@ def test_tiramisu_up_compress():
     # 1x1 compression leaves the receptive field untouched
     assert fast_spec.receptive_field() == TiramisuSpec(
         growth_rate=8, layers_per_block=2, depth=2).receptive_field()
+
+
+def test_subpixel_upsample_matches_naive():
+    """UpSample(subpixel=True) is the naive nearest-up+conv EXACTLY (same
+    param tree, same init values, same function incl. zero-SAME borders) —
+    the heavy work just happens at low resolution (layers._ManualConv)."""
+    x = jax.random.normal(jax.random.PRNGKey(0), (2, 9, 11, 7))
+    new = layers.UpSample(12, subpixel=True)
+    old = layers.UpSample(12, subpixel=False)
+    p_old = old.init(jax.random.PRNGKey(1), x)
+    p_new = new.init(jax.random.PRNGKey(1), x)
+    assert jax.tree_util.tree_structure(p_old) == jax.tree_util.tree_structure(p_new)
+    for a, b in zip(jax.tree.leaves(p_old), jax.tree.leaves(p_new)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    y_new = new.apply(p_old, x)
+    y_old = old.apply(p_old, x)
+    assert y_new.shape == y_old.shape == (2, 18, 22, 12)
+    np.testing.assert_allclose(np.asarray(y_new), np.asarray(y_old), atol=2e-6)
+
+
+def test_convblock_split_input_matches_concat():
+    """ConvBlock on a tuple == ConvBlock on the channel concat, same params
+    (the concat-free decoder skip join)."""
+    a = jax.random.normal(jax.random.PRNGKey(2), (2, 8, 8, 6))
+    b = jax.random.normal(jax.random.PRNGKey(3), (2, 8, 8, 10))
+    blk = layers.ConvBlock(16)
+    p = blk.init(jax.random.PRNGKey(4), jnp.concatenate([a, b], -1))
+    y_cat = blk.apply(p, jnp.concatenate([a, b], -1))
+    y_split = blk.apply(p, (a, b))
+    np.testing.assert_allclose(np.asarray(y_cat), np.asarray(y_split), atol=2e-6)
+    # strided variant too (not used by the decoder but part of the contract)
+    blk2 = layers.ConvBlock(8, stride=2)
+    p2 = blk2.init(jax.random.PRNGKey(5), jnp.concatenate([a, b], -1))
+    np.testing.assert_allclose(
+        np.asarray(blk2.apply(p2, jnp.concatenate([a, b], -1))),
+        np.asarray(blk2.apply(p2, (a, b))), atol=2e-6)
+
+
+def test_unet_decoder_param_tree_unchanged():
+    """The concat-free decoder keeps the EXACT param tree of the concat
+    decoder, so every shipped checkpoint keeps loading (weights/*.npz)."""
+    cfg = tiny_unet_cfg()
+    _, _, params, _ = _forward(cfg, spatial=32)
+    flat = {"/".join(str(k.key) for k in path): v.shape
+            for path, v in jax.tree_util.tree_flatten_with_path(params)[0]}
+    # decoder stacks' first conv sees up_width + skip_width input channels
+    # exactly as the concat produced
+    assert flat["params/UNet_0/ConvStack_3/ConvBlock_0/Conv_0/kernel"] == (3, 3, 16 + 16, 16)
+    assert flat["params/UNet_0/ConvStack_4/ConvBlock_0/Conv_0/kernel"] == (3, 3, 8 + 8, 8)
+    assert flat["params/UNet_0/UpSample_0/ConvBlock_0/Conv_0/kernel"] == (3, 3, 32, 16)
+
+
+def test_tiramisu_concat_free_matches_concat():
+    """TiramisuSpec.concat_free flips the dense-connectivity lowering
+    (tuple kernel-split vs real channel concats) without changing the
+    function or the param tree — shipped checkpoints load either way."""
+    import dataclasses
+
+    spec = TiramisuSpec(growth_rate=8, layers_per_block=3, depth=2,
+                        stem_stride=2, up_compress=24)
+    x = jax.random.normal(jax.random.PRNGKey(7), (2, 16, 24, 14))
+    m_cat = Tiramisu(spec, 6)
+    m_cf = Tiramisu(dataclasses.replace(spec, concat_free=True), 6)
+    p_cat = m_cat.init(jax.random.PRNGKey(3), x)
+    p_cf = m_cf.init(jax.random.PRNGKey(3), x)
+    assert (jax.tree_util.tree_structure(p_cat)
+            == jax.tree_util.tree_structure(p_cf))
+    for a, b in zip(jax.tree.leaves(p_cat), jax.tree.leaves(p_cf)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    np.testing.assert_allclose(
+        np.asarray(m_cf.apply(p_cat, x)), np.asarray(m_cat.apply(p_cat, x)),
+        atol=2e-6)

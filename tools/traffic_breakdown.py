@@ -69,8 +69,10 @@ def top_ops(compiled, k=25):
             kind = f"fusion:{fm.group(1).split('.')[0] if fm else '?'}"
         agg[kind][0] += b
         agg[kind][1] += 1
-        rows.append((b, kind, line[:110]))
-    rows.sort(reverse=True)
+        om = re.search(r'op_name="([^"]*)"', line)
+        src = om.group(1) if om else "?"
+        rows.append((b, kind, line[:60], src))
+    rows.sort(key=lambda r: -r[0])
     return agg, rows[:k]
 
 
@@ -157,8 +159,8 @@ def main() -> int:
     for kind, (b, n) in sorted(agg.items(), key=lambda kv: -kv[1][0])[:20]:
         print(f"  {kind:<28} {b/1e9:8.2f} GB  x{n}")
     print(f"\ntop {args.top} single ops by output bytes:")
-    for b, kind, line in rows:
-        print(f"  {b/1e9:6.2f} GB  {line}")
+    for b, kind, line, src in rows:
+        print(f"  {b/1e9:6.2f} GB  {line}\n             ^ {src}")
     return 0
 
 
