@@ -49,9 +49,14 @@ def main() -> None:
     # ms/frame. See docs/STATUS_R2.md "the 4K story".
     ap.add_argument("--border", type=int, default=32,
                     help="whole-frame reflect border (-1 = certified halo)")
+    # flagship-hq (stride-1 UNet) is the shipped quality headline:
+    # ~59 ms / 17 fps at +13.0 dB (SSIM .927) — VERDICT r2 item 3's
+    # stretch goal. `--model flagship` restores the s2d speed model
+    # (~36 ms / 27.6 fps at +6.2 dB) for comparison.
+    ap.add_argument("--model", default="flagship-hq",
+                    help="zoo preset to bench (release weights from weights/)")
     args = ap.parse_args()
 
-    from __graft_entry__ import FLAGSHIP
     from deepdenoiser_tpu.config import InferenceConfig
     from deepdenoiser_tpu.data import synthetic
     from deepdenoiser_tpu.inference import pipeline
@@ -60,39 +65,28 @@ def main() -> None:
 
     log(f"device: {jax.devices()[0]}")
 
-    params = factory.init_params(FLAGSHIP, jax.random.PRNGKey(0), spatial=64)
-    trained = None
     root = Path(__file__).parent
-    npz = root / "weights" / "flagship_ema_f16.npz"
-    ckpt_dir = root / "checkpoints" / "flagship"
-    if npz.exists():
-        sys.path.insert(0, str(root))
-        from tools.export_release_weights import load_release_params
+    sys.path.insert(0, str(root))
+    from tools.eval_zoo import load_model_params
 
-        # device_put ONCE — host-side numpy params would be re-uploaded
-        # through the tunnel on every jitted call (measured: 2 s/frame).
-        params = jax.device_put(load_release_params(npz))
-        trained = f"release weights {npz.name}"
-    elif ckpt_dir.exists():
-        from deepdenoiser_tpu.config import TrainConfig
-        from deepdenoiser_tpu.training import train as train_lib
-        from deepdenoiser_tpu.training.checkpoint import CheckpointManager
+    try:
+        # load_model_params does the device_put ONCE — host-side numpy
+        # params would be re-uploaded through the tunnel on every jitted
+        # call (measured: 2 s/frame).
+        mcfg, params, mode = load_model_params(args.model)
+        trained = f"release weights ({args.model})"
+    except FileNotFoundError:
+        from tools.pretrain_flagship import MODELS
 
-        state = train_lib.create_state(
-            FLAGSHIP, TrainConfig(ema_decay=0.999), jax.random.PRNGKey(0), spatial=64
-        )
-        mgr = CheckpointManager(ckpt_dir)
-        restored = mgr.restore_latest(state)
-        mgr.close()
-        if restored is not None:
-            st = restored[0]
-            params = st.ema_params if st.ema_params is not None else st.params
-            trained = "orbax training checkpoint"
+        mcfg, mode = MODELS[args.model], "joint"
+        params = factory.init_params(mcfg, jax.random.PRNGKey(0), spatial=64)
+        trained = None
+    assert mode == "joint", f"bench covers joint-mode presets, got {mode!r}"
     log(f"weights: {trained or 'random init'}")
 
     icfg = InferenceConfig(tile=0, compute_dtype="bfloat16",
                            border=args.border)  # whole-frame
-    denoise, grid = pipeline.make_joint_frame_denoiser(FLAGSHIP, icfg, H, W)
+    denoise, grid = pipeline.make_joint_frame_denoiser(mcfg, icfg, H, W)
     log(f"grid: {grid} (net {grid.net_h}x{grid.net_w}, joint 4-group single pass)")
 
     log("generating synthetic 1080p pass set...")

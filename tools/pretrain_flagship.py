@@ -64,6 +64,9 @@ TIRAMISU_S2D = ModelConfig(
     backbone="tiramisu", in_channels=transforms.joint_input_channels(),
     out_channels=transforms.joint_output_channels(), growth_rate=20,
     layers_per_block=4, depth=3, act="leaky_relu", stem_stride=2,
+    # bounded up-path concats like tiramisu-fast (its quality did not
+    # suffer from the bottleneck — it LED the r3 ladder)
+    up_compress=64,
     compute_dtype="bfloat16", predict_residual=True,
 )
 # Control for the tiramisu finding: is the ~8 dB win density, or just
