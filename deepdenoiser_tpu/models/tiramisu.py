@@ -52,6 +52,13 @@ class TiramisuSpec:
     # measured A/B switch; contrast with the UNet decoder where ONE wide
     # concat per level made the split a win (models/unet.py).
     concat_free: bool = False
+    # Middle ground: each dense layer consumes (base, concat(feats)) as a
+    # 2-tuple — the WIDE block input is never re-copied into the
+    # per-layer concats while the narrow grown features still concatenate
+    # for MXU lane width. Identical math and param tree. ALSO measured
+    # slower on v5e (tiramisu-fast 1080p: 158.7 vs 153.3 ms) — XLA already
+    # fuses these concats well; splitting only fragments the convs.
+    dense_base_split: bool = False
 
     def rf_state(self, s: RFState = RFState()) -> RFState:
         k, n = self.kernel, self.layers_per_block
@@ -106,6 +113,7 @@ class DenseBlock(nn.Module):
     dtype: Any
     param_dtype: Any
     concat_free: bool = False
+    base_split: bool = False  # TiramisuSpec.dense_base_split
 
     @nn.compact
     def __call__(self, x):
@@ -114,13 +122,20 @@ class DenseBlock(nn.Module):
         Each layer consumes (x, f_1, .., f_{i-1}); with `concat_free` the
         join is a tuple consumed via ConvBlock's kernel split — identical
         math and param tree as concatenating (see TiramisuSpec.concat_free
-        for the v5e measurement)."""
+        for the v5e measurement). With `base_split`, only the wide base
+        `x` is split out; the grown features still concatenate."""
         feats: List[Array] = []
-        for _ in range(self.n_layers):
+        base_split = self.base_split and not self.concat_free
+        base = (x,) if isinstance(x, jax.Array) else tuple(x)
+        for i in range(self.n_layers):
+            if base_split:
+                inp = base if i == 0 else base + (_join(False, *feats),)
+            else:
+                inp = _join(self.concat_free, x, *feats)
             y = layers.ConvBlock(
                 self.growth_rate, self.kernel, act=self.act,
                 dtype=self.dtype, param_dtype=self.param_dtype,
-            )(_join(self.concat_free, x, *feats))
+            )(inp)
             feats.append(y)
         return _join(self.concat_free, *feats)
 
@@ -148,15 +163,21 @@ class Tiramisu(nn.Module):
         db = lambda t: DenseBlock(  # noqa: E731
             spec.growth_rate, spec.layers_per_block, spec.kernel, spec.act,
             **kw, concat_free=spec.concat_free,
+            base_split=spec.dense_base_split,
         )(t)
 
         # With spec.concat_free, feature maps flow as tuples below — every
         # jnp.concatenate the dense connectivity implies is applied
         # virtually inside the next conv's kernel split
         # (layers._ManualConv): identical function and param tree.
+        # `tj` joins at block boundaries: tuple when EITHER tuple mode is
+        # on (dense_base_split keeps block outputs as (base.., feats)
+        # 2-tuples so the wide base is never recopied; convs consume
+        # tuples via kernel split either way).
         cf = spec.concat_free
+        tj = cf or spec.dense_base_split
         stem = layers.ConvBlock(spec.stem_width, spec.kernel, act=spec.act, **kw)(x)
-        x = _join(cf, stem, db(stem))
+        x = _join(tj, stem, db(stem))
 
         skips = []
         for _ in range(spec.depth):
@@ -164,7 +185,7 @@ class Tiramisu(nn.Module):
             # transition down: 1x1 conv compress + 2x2 avg pool
             x = layers.ConvBlock(_channels(x) // 2, 1, act=spec.act, **kw)(x)
             x = layers.avg_downsample(x, 2)
-            x = _join(cf, x, db(x))
+            x = _join(tj, x, db(x))
 
         for skip in reversed(skips):
             # transition up: resize-conv to the skip's channel budget / 2
@@ -172,10 +193,10 @@ class Tiramisu(nn.Module):
                 max(spec.growth_rate * spec.layers_per_block, _channels(skip) // 2),
                 spec.kernel, spec.act, **kw,
             )(x)
-            x = _join(cf, up, skip)
+            x = _join(tj, up, skip)
             if spec.up_compress > 0 and _channels(x) > spec.up_compress:
                 x = layers.ConvBlock(spec.up_compress, 1, act=spec.act, **kw)(x)
-            x = _join(cf, x, db(x))
+            x = _join(tj, x, db(x))
 
         head_ch = self.out_channels * (spec.stem_stride**2)
         head_kw = dict(dtype=self.dtype, param_dtype=self.param_dtype)

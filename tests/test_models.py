@@ -431,23 +431,26 @@ def test_unet_decoder_param_tree_unchanged():
     assert flat["params/UNet_0/UpSample_0/ConvBlock_0/Conv_0/kernel"] == (3, 3, 32, 16)
 
 
-def test_tiramisu_concat_free_matches_concat():
-    """TiramisuSpec.concat_free flips the dense-connectivity lowering
-    (tuple kernel-split vs real channel concats) without changing the
-    function or the param tree — shipped checkpoints load either way."""
+@pytest.mark.parametrize("variant", ["concat_free", "dense_base_split"])
+def test_tiramisu_alt_lowerings_match_concat(variant):
+    """TiramisuSpec.concat_free / dense_base_split flip the
+    dense-connectivity lowering (tuple kernel-split vs real channel
+    concats) without changing the function or the param tree — shipped
+    checkpoints load under every lowering. (Both measured slower than
+    plain concats on v5e; kept as A/B switches — see TiramisuSpec.)"""
     import dataclasses
 
     spec = TiramisuSpec(growth_rate=8, layers_per_block=3, depth=2,
                         stem_stride=2, up_compress=24)
     x = jax.random.normal(jax.random.PRNGKey(7), (2, 16, 24, 14))
     m_cat = Tiramisu(spec, 6)
-    m_cf = Tiramisu(dataclasses.replace(spec, concat_free=True), 6)
+    m_alt = Tiramisu(dataclasses.replace(spec, **{variant: True}), 6)
     p_cat = m_cat.init(jax.random.PRNGKey(3), x)
-    p_cf = m_cf.init(jax.random.PRNGKey(3), x)
+    p_alt = m_alt.init(jax.random.PRNGKey(3), x)
     assert (jax.tree_util.tree_structure(p_cat)
-            == jax.tree_util.tree_structure(p_cf))
-    for a, b in zip(jax.tree.leaves(p_cat), jax.tree.leaves(p_cf)):
+            == jax.tree_util.tree_structure(p_alt))
+    for a, b in zip(jax.tree.leaves(p_cat), jax.tree.leaves(p_alt)):
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
     np.testing.assert_allclose(
-        np.asarray(m_cf.apply(p_cat, x)), np.asarray(m_cat.apply(p_cat, x)),
+        np.asarray(m_alt.apply(p_cat, x)), np.asarray(m_cat.apply(p_cat, x)),
         atol=2e-6)
