@@ -75,6 +75,11 @@ class TrainConfig:
     # scale, averaged) — upstream-style per-scale supervision (SURVEY.md
     # C13; the r2-trained multiscale without it was worse than its input)
     scale_supervision_weight: float = 0.0
+    # >0: knowledge distillation — the train step blends the ground-truth
+    # loss with a loss against a frozen teacher's prediction carried in the
+    # batch as 'y_teacher' (loss = (1-w)*gt + w*teacher). The teacher
+    # forward runs outside the step (tools/pretrain_flagship.py --teacher).
+    distill_weight: float = 0.0
     loss: LossConfig = dataclasses.field(default_factory=LossConfig)
 
 

@@ -87,6 +87,7 @@ def _loss_and_metrics(
     params,
     batch: Batch,
     scale_weight: float = 0.0,
+    distill_weight: float = 0.0,
 ) -> Tuple[Array, Dict[str, Array]]:
     mask = batch.get("mask")
     if scale_weight > 0.0:
@@ -107,6 +108,13 @@ def _loss_and_metrics(
     else:
         pred = model_apply(params, batch["x"])
         loss = losses.pass_loss(loss_cfg, pred, batch["y"], mask)
+    if distill_weight > 0.0 and "y_teacher" in batch:
+        # Knowledge distillation: blend the ground-truth loss with a loss
+        # against a frozen teacher's prediction on the SAME noisy input
+        # (teacher forward runs outside this step — the batch carries it).
+        loss = (1.0 - distill_weight) * loss + distill_weight * losses.pass_loss(
+            loss_cfg, pred, batch["y_teacher"], mask
+        )
     mets = {
         "loss": loss,
         "psnr_encoded": metrics.psnr(pred, batch["y"], data_range=4.0),
@@ -150,10 +158,13 @@ def make_train_step(
     scale_w = (
         train_cfg.scale_supervision_weight if model_cfg.n_scales > 1 else 0.0
     )
+    distill_w = train_cfg.distill_weight
 
     def local_step(state: TrainState, batch: Batch, axis: Optional[str]):
         (loss, mets), grads = jax.value_and_grad(
-            lambda p: _loss_and_metrics(model.apply, loss_cfg, p, batch, scale_w),
+            lambda p: _loss_and_metrics(
+                model.apply, loss_cfg, p, batch, scale_w, distill_w
+            ),
             has_aux=True,
         )(state.params)
         if axis is not None:

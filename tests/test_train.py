@@ -210,3 +210,28 @@ def test_remat_training_matches_plain():
     assert trees[False] == trees[True]
     assert abs(outs[False][0] - outs[True][0]) < 1e-6
     assert abs(outs[False][1] - outs[True][1]) < 1e-5
+
+
+def test_distill_loss_blends_teacher():
+    """distill_weight>0 + a 'y_teacher' batch entry: w=0 reproduces the
+    plain loss exactly; w=1 with teacher==prediction-target drives the
+    loss toward the teacher term only (tools/pretrain_flagship.py
+    --teacher carries the frozen-teacher forward in the batch)."""
+    mcfg, _ = tiny_cfgs()
+    batch = fixed_batch()
+    batch_t = dict(batch, y_teacher=batch["y"] * 0.5 + 0.1)
+
+    def run(w, b):
+        _, tcfg = tiny_cfgs(distill_weight=w)
+        state = T.create_state(mcfg, tcfg, jax.random.PRNGKey(0), spatial=16)
+        _, mets = T.make_train_step(mcfg, tcfg, None)(state, b)
+        return float(mets["loss"])
+
+    plain = run(0.0, batch)
+    # without the batch key, distill_weight is inert
+    assert run(0.7, batch) == pytest.approx(plain, rel=1e-6)
+    # blended loss sits strictly between the two pure losses
+    pure_teacher = run(1.0, batch_t)
+    blended = run(0.5, batch_t)
+    lo, hi = sorted([plain, pure_teacher])
+    assert lo < blended < hi

@@ -64,7 +64,16 @@ def main() -> int:
     p.add_argument("--frames", type=int, default=2)
     p.add_argument("--spp", type=int, default=4)
     p.add_argument("--chain", type=int, default=6)
+    p.add_argument("--cpu", action="store_true",
+                   help="force the CPU backend (quality-only: latency is "
+                        "reported as null). NOTE: JAX_PLATFORMS=cpu in the "
+                        "env does NOT stick on this box; and never share "
+                        "the TPU with a live training run — a concurrent "
+                        "client can wedge the trainer's stream permanently "
+                        "(MEMORY tpu-env-facts)")
     args = p.parse_args()
+    if args.cpu:
+        jax.config.update("jax_platforms", "cpu")
     args.chain = max(args.chain, 2)  # (tk - t1)/(chain - 1) needs chain >= 2
 
     from deepdenoiser_tpu.config import InferenceConfig
@@ -116,29 +125,32 @@ def main() -> int:
                     metrics.ssim(pred, ref)[0],
                     metrics.psnr_per_image(tm(frame["combined"])[None], ref)[0])
 
-        frame0 = {k: jax.device_put(jnp.asarray(v))
-                  for k, v in families["train-family"][0][0].items()}
-        s = den_only(params, frame0, jnp.zeros(()))
-        float(s)
-        s = den_only(params, frame0, s * 1e-30)
-        float(s)
-        # median of 5 chain samples: single (t1, tk) pairs occasionally
-        # catch multi-second tunnel stalls (MEMORY tpu-env-facts)
-        samples = []
-        for _ in range(5):
-            t0 = time.perf_counter()
+        lat_ms = None
+        if not args.cpu:
+            frame0 = {k: jax.device_put(jnp.asarray(v))
+                      for k, v in families["train-family"][0][0].items()}
+            s = den_only(params, frame0, jnp.zeros(()))
+            float(s)
             s = den_only(params, frame0, s * 1e-30)
             float(s)
-            t1 = time.perf_counter() - t0
-            t0 = time.perf_counter()
-            for _ in range(args.chain):
+            # median of 5 chain samples: single (t1, tk) pairs occasionally
+            # catch multi-second tunnel stalls (MEMORY tpu-env-facts)
+            samples = []
+            for _ in range(5):
+                t0 = time.perf_counter()
                 s = den_only(params, frame0, s * 1e-30)
-            float(s)
-            tk = time.perf_counter() - t0
-            samples.append(1e3 * (tk - t1) / (args.chain - 1))
-        lat_ms = float(np.median(samples))
+                float(s)
+                t1 = time.perf_counter() - t0
+                t0 = time.perf_counter()
+                for _ in range(args.chain):
+                    s = den_only(params, frame0, s * 1e-30)
+                float(s)
+                tk = time.perf_counter() - t0
+                samples.append(1e3 * (tk - t1) / (args.chain - 1))
+            lat_ms = float(np.median(samples))
 
-        row = {"model": name, "mode": mode, "latency_ms": round(lat_ms, 1)}
+        row = {"model": name, "mode": mode,
+               "latency_ms": round(lat_ms, 1) if lat_ms is not None else None}
         for fam, frames in families.items():
             gains, psnrs, ssims = [], [], []
             for noisy, gt in frames:
@@ -151,7 +163,8 @@ def main() -> int:
             row[f"{key}_gain_db"] = round(float(np.mean(gains)), 2)
             row[f"{key}_ssim"] = round(float(np.mean(ssims)), 4)
         rows.append(row)
-        print(f"{name:12s} mode={mode:5s} {lat_ms:7.1f} ms  "
+        lat_str = f"{lat_ms:7.1f}" if lat_ms is not None else "    n/a"
+        print(f"{name:12s} mode={mode:5s} {lat_str} ms  "
               f"train {row['train_psnr']:.2f} dB ({row['train_gain_db']:+.2f})  "
               f"holdout {row['holdout_psnr']:.2f} dB ({row['holdout_gain_db']:+.2f})",
               flush=True)

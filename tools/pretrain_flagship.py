@@ -101,6 +101,9 @@ MODELS = {
     # the shipped 150k-step production-quality model (config PRESETS
     # 'flagship-hq'): same arch as unet-fullres
     "flagship-hq": UNET_FULLRES,
+    # distillation experiment (same arch; fine-tuned from flagship-hq with
+    # --teacher tiramisu-fast --distill-weight 0.5)
+    "hq-distill": UNET_FULLRES,
 }
 from deepdenoiser_tpu.data import synthetic_jax
 from deepdenoiser_tpu.ops.losses import LossConfig
@@ -132,6 +135,16 @@ def main() -> int:
                    help="validate on unseen-seed batches of the training "
                         "families every N steps; the best-EMA-PSNR "
                         "checkpoint is kept at <out>-best (0 disables)")
+    p.add_argument("--teacher", default=None, choices=sorted(MODELS),
+                   help="knowledge distillation: run this frozen zoo member "
+                        "(shipped weights/<name>_ema_f16.npz) on every "
+                        "training batch and blend its prediction into the "
+                        "loss (TrainConfig.distill_weight)")
+    p.add_argument("--distill-weight", type=float, default=0.5,
+                   help="teacher share of the loss when --teacher is set")
+    p.add_argument("--init-from", default=None,
+                   help="release npz to initialize the student from "
+                        "(fine-tune; ignored when the workdir resumes)")
     args = p.parse_args()
 
     mcfg = MODELS[args.model]
@@ -141,13 +154,42 @@ def main() -> int:
         loss=LossConfig(kind=args.loss, gradient_weight=args.grad_weight),
         # per-scale supervision for multi-scale models (VERDICT r2 item 2)
         scale_supervision_weight=0.5 if mcfg_has_scales(args.model) else 0.0,
+        distill_weight=args.distill_weight if args.teacher else 0.0,
     )
     mode = {24: "joint", 6: "group", 3: "rgb"}[mcfg.out_channels]
 
     state = train_lib.create_state(mcfg, tcfg, jax.random.PRNGKey(0), spatial=args.crop)
+    if args.init_from:
+        import jax.numpy as jnp
+        from deepdenoiser_tpu.weights_io import load_release_params
+        loaded = jax.tree.map(jnp.asarray, load_release_params(args.init_from))
+        state = state.replace(params=loaded,
+                              ema_params=jax.tree.map(jnp.copy, loaded)
+                              if state.ema_params is not None else None)
+        print(f"student initialized from {args.init_from}", flush=True)
     base_step = train_lib.make_train_step(mcfg, tcfg, None)
-    gen = lambda key: synthetic_jax.training_batch(  # noqa: E731
+    raw_gen = lambda key: synthetic_jax.training_batch(  # noqa: E731
         key, args.batch, args.crop, mode, args.family)
+    if args.teacher:
+        from deepdenoiser_tpu.models import factory
+        from deepdenoiser_tpu.weights_io import load_release_params
+        t_mcfg = MODELS[args.teacher]
+        t_mode = {24: "joint", 6: "group", 3: "rgb"}[t_mcfg.out_channels]
+        if t_mode != mode:
+            raise SystemExit(f"teacher mode {t_mode!r} != student mode {mode!r}")
+        t_npz = Path(__file__).resolve().parents[1] / "weights" / (
+            args.teacher.replace("-", "_") + "_ema_f16.npz")
+        t_params = jax.device_put(load_release_params(t_npz))
+        t_apply = jax.jit(factory.build_model(t_mcfg).apply)
+
+        def gen(key):
+            b = dict(raw_gen(key))
+            b["y_teacher"] = t_apply(t_params, b["x"])
+            return b
+        print(f"distilling from {args.teacher} ({t_npz.name}), "
+              f"weight {args.distill_weight}", flush=True)
+    else:
+        gen = raw_gen
 
     # Validation for checkpoint SELECTION (not the quality holdout): same
     # families as training but keys the training stream never sees
