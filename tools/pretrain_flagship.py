@@ -104,6 +104,10 @@ MODELS = {
     # distillation experiment (same arch; fine-tuned from flagship-hq with
     # --teacher tiramisu-fast --distill-weight 0.5)
     "hq-distill": UNET_FULLRES,
+    # half-LR KPN retrain (lr 2.5e-4): the cosine peak at 5e-4 slowly
+    # degraded the softmax head late in training (STATUS_R3); this alias
+    # lets eval_zoo score the rerun before it ships over 'kpn'
+    "kpn-lr2": KPN,
 }
 from deepdenoiser_tpu.data import synthetic_jax
 from deepdenoiser_tpu.ops.losses import LossConfig
