@@ -53,6 +53,7 @@ class ModelConfig:
     growth_rate: int = 16
     layers_per_block: int = 4
     up_compress: int = 0  # >0: bound up-path concat width via 1x1 conv
+    layers_top: int = 0  # >0: thinner dense blocks at full res only
 
     @property
     def dtype(self):
@@ -101,6 +102,7 @@ class DenoiserModel(nn.Module):
                 act=cfg.act,
                 stem_stride=cfg.stem_stride,
                 up_compress=cfg.up_compress,
+                layers_top=cfg.layers_top,
             )
             backbone = Tiramisu(
                 tspec, out_ch,
@@ -190,7 +192,7 @@ def _backbone_spec(cfg: ModelConfig):
         return TiramisuSpec(
             growth_rate=cfg.growth_rate, layers_per_block=cfg.layers_per_block,
             depth=cfg.depth, act=cfg.act, stem_stride=cfg.stem_stride,
-            up_compress=cfg.up_compress,
+            up_compress=cfg.up_compress, layers_top=cfg.layers_top,
         )
     raise ValueError(f"unknown backbone {cfg.backbone!r}")
 

@@ -59,21 +59,32 @@ class TiramisuSpec:
     # slower on v5e (tiramisu-fast 1080p: 158.7 vs 153.3 ms) — XLA already
     # fuses these concats well; splitting only fragments the convs.
     dense_base_split: bool = False
+    # >0: dense-layer count for the two FULL-RESOLUTION blocks only (the
+    # entry block and the last up-path block); the coarser blocks keep
+    # layers_per_block. At 1080p the full-res convs dominate the frame
+    # time while the coarse scales are nearly free, so thinning only the
+    # top level buys latency at minimal capacity loss (r3 latency sweep).
+    layers_top: int = 0
+
+    @property
+    def _layers_top(self) -> int:
+        return self.layers_top or self.layers_per_block
 
     def rf_state(self, s: RFState = RFState()) -> RFState:
         k, n = self.kernel, self.layers_per_block
         if self.stem_stride == 2:
             s = s.pool(2)  # space-to-depth window
         s = s.conv(k)  # stem
-        for _ in range(n):  # entry dense block
+        for _ in range(self._layers_top):  # entry dense block (full res)
             s = s.conv(k)
         for _ in range(self.depth):  # down path
             s = s.pool(2)  # transition down (1x1 conv adds nothing)
             for _ in range(n):
                 s = s.conv(k)
-        for _ in range(self.depth):  # up path
+        for i in range(self.depth):  # up path (coarse -> fine)
             s = s.upsample(2).conv(k)  # transition up conv
-            for _ in range(n):
+            n_here = self._layers_top if i == self.depth - 1 else n
+            for _ in range(n_here):
                 s = s.conv(k)
         if self.stem_stride == 2:
             s = s.upsample(2)  # depth-to-space
@@ -160,8 +171,8 @@ class Tiramisu(nn.Module):
         if spec.stem_stride == 2:
             x = layers.space_to_depth(x, 2)
 
-        db = lambda t: DenseBlock(  # noqa: E731
-            spec.growth_rate, spec.layers_per_block, spec.kernel, spec.act,
+        db = lambda t, n_layers=spec.layers_per_block: DenseBlock(  # noqa: E731
+            spec.growth_rate, n_layers, spec.kernel, spec.act,
             **kw, concat_free=spec.concat_free,
             base_split=spec.dense_base_split,
         )(t)
@@ -177,7 +188,7 @@ class Tiramisu(nn.Module):
         cf = spec.concat_free
         tj = cf or spec.dense_base_split
         stem = layers.ConvBlock(spec.stem_width, spec.kernel, act=spec.act, **kw)(x)
-        x = _join(tj, stem, db(stem))
+        x = _join(tj, stem, db(stem, spec._layers_top))
 
         skips = []
         for _ in range(spec.depth):
@@ -187,7 +198,7 @@ class Tiramisu(nn.Module):
             x = layers.avg_downsample(x, 2)
             x = _join(tj, x, db(x))
 
-        for skip in reversed(skips):
+        for level, skip in enumerate(reversed(skips)):
             # transition up: resize-conv to the skip's channel budget / 2
             up = layers.UpSample(
                 max(spec.growth_rate * spec.layers_per_block, _channels(skip) // 2),
@@ -196,7 +207,11 @@ class Tiramisu(nn.Module):
             x = _join(tj, up, skip)
             if spec.up_compress > 0 and _channels(x) > spec.up_compress:
                 x = layers.ConvBlock(spec.up_compress, 1, act=spec.act, **kw)(x)
-            x = _join(tj, x, db(x))
+            n_here = (
+                spec._layers_top if level == spec.depth - 1
+                else spec.layers_per_block
+            )
+            x = _join(tj, x, db(x, n_here))
 
         head_ch = self.out_channels * (spec.stem_stride**2)
         head_kw = dict(dtype=self.dtype, param_dtype=self.param_dtype)

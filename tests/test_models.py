@@ -129,6 +129,27 @@ def test_tiramisu_halo_bound():
     assert measured <= halo, (measured, halo)
 
 
+def test_tiramisu_layers_top_halo_bound():
+    """layers_top thins only the full-res dense blocks: the certified RF
+    shrinks vs the symmetric spec and still bounds the measured reach."""
+    import dataclasses
+
+    sym = TiramisuSpec(growth_rate=2, layers_per_block=3, depth=1,
+                       stem_width=4, act="elu")
+    thin = dataclasses.replace(sym, layers_top=1)
+    assert thin.receptive_field() < sym.receptive_field()
+    halo = thin.rf_state().halo
+    model = Tiramisu(thin, out_channels=3)
+    spatial = 64
+    params = model.init(jax.random.PRNGKey(0), jnp.zeros((1, spatial, spatial, 4)))
+    measured = _measured_reach(lambda x: model.apply(params, x), 4, spatial)
+    assert measured <= halo, (measured, halo)
+    # fewer params than the symmetric net, same output shape
+    count = lambda t: sum(int(np.prod(v.shape)) for v in jax.tree.leaves(t))
+    p_sym = Tiramisu(sym, 3).init(jax.random.PRNGKey(0), jnp.zeros((1, 64, 64, 4)))
+    assert count(params) < count(p_sym)
+
+
 def test_multiscale_halo_bound():
     cfg = tiny_unet_cfg(depth=1, n_scales=2, act="elu", in_channels=4)
     halo = factory.halo(cfg)

@@ -32,6 +32,10 @@ def main() -> int:
     p.add_argument("--tile-batch", type=int, default=0)
     p.add_argument("--chain", type=int, default=8)
     p.add_argument("--samples", type=int, default=5)
+    p.add_argument("--init", action="store_true",
+                   help="random-init params instead of loading weights "
+                        "(latency-only sweeps of untrained variants; the "
+                        "reported quality numbers are meaningless)")
     args = p.parse_args()
 
     from deepdenoiser_tpu.config import InferenceConfig
@@ -41,7 +45,19 @@ def main() -> int:
     from tools.eval_zoo import load_model_params
 
     H, W = args.height, args.width
-    mcfg, params, mode = load_model_params(args.model)
+    if args.init:
+        from tools.pretrain_flagship import MODELS
+        from deepdenoiser_tpu.config import TrainConfig
+        from deepdenoiser_tpu.training import train as train_lib
+
+        mcfg = MODELS[args.model]
+        mode = {24: "joint", 6: "group", 3: "rgb"}[mcfg.out_channels]
+        state = train_lib.create_state(
+            mcfg, TrainConfig(ema_decay=0.0), jax.random.PRNGKey(0), spatial=96
+        )
+        params = jax.device_put(state.params)
+    else:
+        mcfg, params, mode = load_model_params(args.model)
     icfg = InferenceConfig(tile=args.tile, tile_batch=args.tile_batch,
                            compute_dtype="bfloat16", border=args.border)
     if mode == "joint":

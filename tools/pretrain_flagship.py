@@ -90,6 +90,15 @@ UNET_FULLRES_128 = dataclasses.replace(UNET_FULLRES, base_width=128)
 # r3: tiramisu with bounded up-path concats (1x1 bottlenecks) — the fix
 # for the r2 HBM-traffic diagnosis (30.8 GB/768^2 frame; VERDICT item 4).
 TIRAMISU_FAST = dataclasses.replace(TIRAMISU, up_compress=64)
+# r3 latency sweep toward a <100 ms dense net: tiramisu-fast is HBM-bound
+# at 74% utilization with a 139 ms memory speed-of-light (114 GB/frame at
+# 1080p) — below 100 ms requires FEWER FULL-RES BYTES, not faster math.
+# layers_top thins only the two full-resolution dense blocks (entry +
+# final up), where the bytes live; coarse scales keep full density.
+TIRAMISU_LT2 = dataclasses.replace(TIRAMISU_FAST, layers_top=2)
+TIRAMISU_LT1 = dataclasses.replace(TIRAMISU_FAST, layers_top=1)
+TIRAMISU_LT2_UC48 = dataclasses.replace(TIRAMISU_FAST, layers_top=2,
+                                        up_compress=48)
 MODELS = {
     "flagship": FLAGSHIP, "rgb-small": RGB_SMALL,
     "multiscale": MULTISCALE, "tiramisu": TIRAMISU, "kpn": KPN,
@@ -108,6 +117,10 @@ MODELS = {
     # degraded the softmax head late in training (STATUS_R3); this alias
     # lets eval_zoo score the rerun before it ships over 'kpn'
     "kpn-lr2": KPN,
+    # <100 ms dense-net latency sweep (layers_top; see above)
+    "tiramisu-lt2": TIRAMISU_LT2,
+    "tiramisu-lt1": TIRAMISU_LT1,
+    "tiramisu-lt2-uc48": TIRAMISU_LT2_UC48,
 }
 from deepdenoiser_tpu.data import synthetic_jax
 from deepdenoiser_tpu.ops.losses import LossConfig
