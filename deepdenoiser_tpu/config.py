@@ -194,8 +194,10 @@ PRESETS: Dict[str, ExperimentConfig] = {
     ),
     # r2 quality ladder (see docs/STATUS_R2.md): full-resolution processing
     # beats s2d stems by 4-8 dB on this task.
-    # flagship-hq: stride-1 UNet — 71 ms / 1080p frame, +9.9 dB, SSIM .84
-    # (the best quality under the <100 ms north star).
+    # flagship-hq: stride-1 UNet — 58.5 ms / 1080p frame after the r3
+    # concat-free/sub-pixel conv lowering; +13.5 dB train / +8.75 dB on the
+    # untouched spheres holdout (300k mixed + distilled from tiramisu-fast,
+    # STATUS_R3) — the production quality point under the <100 ms north star.
     "flagship-hq": ExperimentConfig(
         name="flagship-hq",
         model=ModelConfig(
@@ -239,8 +241,10 @@ PRESETS: Dict[str, ExperimentConfig] = {
         data=DataConfig(mode="joint"),
         train=TrainConfig(ema_decay=0.999, scale_supervision_weight=0.5),
     ),
-    # FC-DenseNet: +13.4 dB / SSIM .92 at 219 ms (HBM-traffic-bound; see
-    # STATUS_R2 findings).
+    # FC-DenseNet, full dense concats: 192.6 ms at 1080p (HBM-traffic-bound,
+    # STATUS_R2 diagnosis). Strictly dominated by tiramisu-fast below (better
+    # quality, latency, and params); kept as the unbottlenecked C12 reference
+    # point. Shipped weights are the r2 fourier-only training run.
     "tiramisu": ExperimentConfig(
         name="tiramisu",
         model=ModelConfig(
