@@ -270,6 +270,24 @@ PRESETS: Dict[str, ExperimentConfig] = {
         train=TrainConfig(ema_decay=0.999),
         infer=InferenceConfig(border=32),
     ),
+    # r3: tiramisu-fast with the two FULL-RESOLUTION dense blocks thinned to
+    # one layer each (layers_top=1; coarse scales keep full density) — the
+    # <100 ms dense net. The full-res bytes dominate the HBM-bound frame, so
+    # thinning only there cut 153.6 -> 89.9 ms at 1080p. Trained 100k mixed:
+    # +14.85 dB train / +9.10 dB untouched spheres holdout at 0.52M params —
+    # beats flagship-hq on quality on every family under the 100 ms north
+    # star (STATUS_R3 ladder); flagship-hq keeps the throughput crown.
+    "tiramisu-lt1": ExperimentConfig(
+        name="tiramisu-lt1",
+        model=ModelConfig(
+            backbone="tiramisu", growth_rate=16, layers_per_block=4, depth=3,
+            up_compress=64, layers_top=1,
+            compute_dtype="bfloat16", predict_residual=True, act="leaky_relu",
+        ),
+        data=DataConfig(mode="joint"),
+        train=TrainConfig(ema_decay=0.999),
+        infer=InferenceConfig(border=32),
+    ),
     "kpn": ExperimentConfig(
         name="kpn",
         model=ModelConfig(
