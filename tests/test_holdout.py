@@ -129,3 +129,75 @@ def test_spheres_frame_set_contract():
     assert len(noisy) == 2
     for n in noisy:
         assert set(n) == set(clean)
+
+
+# --- round-4 boxes family (the second untouched holdout) --------------------
+
+
+def test_boxes_recomposition_identity():
+    from deepdenoiser_tpu.data import synthetic_boxes
+
+    clean = synthetic_boxes.generate_clean_passes(40, 56, seed=3)
+    rec = synthetic.recompose_np(clean)
+    np.testing.assert_allclose(rec, clean["combined"], rtol=1e-5, atol=1e-6)
+    noisy = synthetic.add_mc_noise(clean, spp=4, seed=1)
+    np.testing.assert_allclose(
+        synthetic.recompose_np(noisy), noisy["combined"], rtol=1e-5, atol=1e-6
+    )
+
+
+def test_boxes_pass_contract():
+    from deepdenoiser_tpu.data import synthetic_boxes
+
+    clean = synthetic_boxes.generate_clean_passes(32, 48, seed=7)
+    assert set(clean) == set(passes.ALL_PASSES)
+    for name, arr in clean.items():
+        assert arr.shape == (32, 48, passes.channels(name)), name
+        assert arr.dtype == np.float32, name
+        assert np.isfinite(arr).all(), name
+    np.testing.assert_allclose(
+        np.linalg.norm(clean["normal"], axis=-1), 1.0, atol=1e-4
+    )
+    assert clean["depth"].min() > 0.0
+    assert 0.0 <= clean["alpha"].min() and clean["alpha"].max() <= 1.0
+
+
+def test_boxes_structurally_distinct():
+    """The boxes family differs from ALL prior families on two axes:
+    piecewise-constant face normals (vs the spheres' smooth curvature) and
+    area-light SOFT shadows — the direct pass has a wide band of fractional
+    shadow levels, while the spheres family's hard shadows are binary."""
+    from deepdenoiser_tpu.data import synthetic_boxes, synthetic_spheres
+
+    clean = synthetic_boxes.generate_clean_passes(96, 128, seed=5)
+    # flat-face normals: most geometry pixels have exactly-zero normal grad
+    geo = clean["alpha"][..., 0] > 0
+    gn = np.abs(np.diff(clean["normal"], axis=1)).sum(-1)
+    flat = (gn[geo[:, 1:] & geo[:, :-1]] < 1e-6).mean()
+    assert flat > 0.9, flat
+
+    def penumbra_fraction(frame):
+        """Fraction of lit-geometry pixels at fractional shadow levels:
+        direct/(lambert-proxy) strictly inside (0.05, 0.95)."""
+        d = frame["diffuse_direct"].sum(-1)
+        geo = frame["alpha"][..., 0] > 0
+        top = np.quantile(d[geo & (d > 0)], 0.99)
+        r = d / max(top, 1e-6)
+        sel = geo & (d > 0)
+        return ((r > 0.05) & (r < 0.95))[sel].mean()
+
+    # soft shadows produce a large intermediate-intensity population that
+    # hard shadows + smooth lambert alone do not (compare at same seed)
+    pb = penumbra_fraction(clean)
+    assert pb > 0.2, pb
+
+
+def test_boxes_frame_set_contract():
+    from deepdenoiser_tpu.data import synthetic_boxes
+
+    clean, noisy = synthetic_boxes.generate_frame_set(
+        24, 24, seed=1, spps=(4,), n_seeds=2
+    )
+    assert len(noisy) == 2
+    for n in noisy:
+        assert set(n) == set(clean)

@@ -25,7 +25,8 @@ import numpy as np
 
 from __graft_entry__ import FLAGSHIP
 from deepdenoiser_tpu.config import InferenceConfig
-from deepdenoiser_tpu.data import synthetic, synthetic_holdout, synthetic_spheres
+from deepdenoiser_tpu.data import (synthetic, synthetic_boxes,
+                                   synthetic_holdout, synthetic_spheres)
 from deepdenoiser_tpu.inference import sequence
 from tools.export_release_weights import load_release_params
 
@@ -33,6 +34,7 @@ FAMILIES = {
     "train (fourier)": synthetic.generate_clean_passes,
     "train (voronoi, r3)": synthetic_holdout.generate_clean_passes,
     "holdout (spheres)": synthetic_spheres.generate_clean_passes,
+    "holdout2 (boxes, r4)": synthetic_boxes.generate_clean_passes,
 }
 
 

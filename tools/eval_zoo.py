@@ -77,7 +77,8 @@ def main() -> int:
     args.chain = max(args.chain, 2)  # (tk - t1)/(chain - 1) needs chain >= 2
 
     from deepdenoiser_tpu.config import InferenceConfig
-    from deepdenoiser_tpu.data import synthetic, synthetic_holdout, synthetic_spheres
+    from deepdenoiser_tpu.data import (synthetic, synthetic_boxes,
+                                       synthetic_holdout, synthetic_spheres)
     from deepdenoiser_tpu.inference import pipeline
     from deepdenoiser_tpu.ops import metrics
 
@@ -86,11 +87,15 @@ def main() -> int:
 
     # shared eval frames (host-generated once). 'train-family' = Fourier,
     # 'voronoi' = in the training mix since r3, 'holdout' = the untouched
-    # spheres family (data/synthetic_spheres.py).
+    # spheres family (data/synthetic_spheres.py), 'holdout2' = the r4
+    # untouched boxes family (data/synthetic_boxes.py) — two independent
+    # never-trained families guard against selection leakage (VERDICT r3
+    # missing #3).
     families = {}
     for fam, gen in (("train-family", synthetic.generate_clean_passes),
                      ("voronoi", synthetic_holdout.generate_clean_passes),
-                     ("holdout", synthetic_spheres.generate_clean_passes)):
+                     ("holdout", synthetic_spheres.generate_clean_passes),
+                     ("holdout2", synthetic_boxes.generate_clean_passes)):
         frames = []
         for f in range(args.frames):
             clean = gen(H, W, seed=2000 + f)
@@ -166,7 +171,8 @@ def main() -> int:
         lat_str = f"{lat_ms:7.1f}" if lat_ms is not None else "    n/a"
         print(f"{name:12s} mode={mode:5s} {lat_str} ms  "
               f"train {row['train_psnr']:.2f} dB ({row['train_gain_db']:+.2f})  "
-              f"holdout {row['holdout_psnr']:.2f} dB ({row['holdout_gain_db']:+.2f})",
+              f"holdout {row['holdout_psnr']:.2f} dB ({row['holdout_gain_db']:+.2f})  "
+              f"holdout2 {row['holdout2_psnr']:.2f} dB ({row['holdout2_gain_db']:+.2f})",
               flush=True)
 
     print(json.dumps({"zoo": rows}))
