@@ -8,6 +8,13 @@ Measures the COMPLETE on-device pipeline (one jitted program): per-pass
 normalization + albedo demodulation for all 4 light groups, batched tiled
 CNN forward (bf16), inverse transforms, recomposition to final RGB.
 
+The single JSON line carries BOTH ladder endpoints (VERDICT r3 weak #4 —
+one parsed number hid the r2→r3 model switch as a throughput regression):
+`value` stays the headline quality model's fps for the driver, and the
+`headline` / `speed` objects carry {model, ms, fps, gains} for the quality
+and speed ends of the Pareto front, on the training family AND both
+untouched holdout families.
+
 Timing methodology for the axon-tunneled TPU (see MEMORY: tpu-env-facts):
 `jax.block_until_ready` does not block and device->host transfers are slow
 through the relay, so each timed sample chains K jitted calls (serialized
@@ -39,61 +46,40 @@ def log(*a):
     print(*a, file=sys.stderr, flush=True)
 
 
-def main() -> None:
-    import argparse
-
-    ap = argparse.ArgumentParser()
-    # Default 32: measured quality-identical to the certified-halo pad at
-    # both 1080p and 4K (31.31 dB / +6.12 both ways at 1080p; 30.68/.6184
-    # both ways at 4K) while cutting padded-plane work ~25% — 59.6 -> 44.0
-    # ms/frame. See docs/STATUS_R2.md "the 4K story".
-    ap.add_argument("--border", type=int, default=32,
-                    help="whole-frame reflect border (-1 = certified halo)")
-    # flagship-hq (stride-1 UNet) is the shipped quality headline:
-    # ~59 ms / 17 fps at +13.0 dB (SSIM .927) — VERDICT r2 item 3's
-    # stretch goal. `--model flagship` restores the s2d speed model
-    # (~36 ms / 27.6 fps at +6.2 dB) for comparison.
-    ap.add_argument("--model", default="flagship-hq",
-                    help="zoo preset to bench (release weights from weights/)")
-    args = ap.parse_args()
-
-    from deepdenoiser_tpu.config import InferenceConfig
-    from deepdenoiser_tpu.data import synthetic
-    from deepdenoiser_tpu.inference import pipeline
+def _load(model_name: str):
     from deepdenoiser_tpu.models import factory
-    from deepdenoiser_tpu.ops import metrics
-
-    log(f"device: {jax.devices()[0]}")
-
-    root = Path(__file__).parent
-    sys.path.insert(0, str(root))
     from tools.eval_zoo import load_model_params
 
     try:
         # load_model_params does the device_put ONCE — host-side numpy
         # params would be re-uploaded through the tunnel on every jitted
         # call (measured: 2 s/frame).
-        mcfg, params, mode = load_model_params(args.model)
-        trained = f"release weights ({args.model})"
+        mcfg, params, mode = load_model_params(model_name)
+        trained = True
     except FileNotFoundError:
         from tools.pretrain_flagship import MODELS
 
-        mcfg, mode = MODELS[args.model], "joint"
+        mcfg, mode = MODELS[model_name], "joint"
         params = factory.init_params(mcfg, jax.random.PRNGKey(0), spatial=64)
-        trained = None
+        trained = False
     assert mode == "joint", f"bench covers joint-mode presets, got {mode!r}"
-    log(f"weights: {trained or 'random init'}")
+    return mcfg, params, trained
 
-    icfg = InferenceConfig(tile=0, compute_dtype="bfloat16",
-                           border=args.border)  # whole-frame
+
+def measure(model_name: str, border: int, frames: dict) -> dict:
+    """Latency (chained) + tonemapped PSNR/SSIM gains on every family."""
+    from deepdenoiser_tpu.config import InferenceConfig
+    from deepdenoiser_tpu.inference import pipeline
+    from deepdenoiser_tpu.ops import metrics
+
+    mcfg, params, trained = _load(model_name)
+    log(f"[{model_name}] weights: {'release' if trained else 'random init'}")
+
+    icfg = InferenceConfig(tile=0, compute_dtype="bfloat16", border=border)
     denoise, grid = pipeline.make_joint_frame_denoiser(mcfg, icfg, H, W)
-    log(f"grid: {grid} (net {grid.net_h}x{grid.net_w}, joint 4-group single pass)")
+    log(f"[{model_name}] grid: {grid} (net {grid.net_h}x{grid.net_w})")
 
-    log("generating synthetic 1080p pass set...")
-    clean = synthetic.generate_clean_passes(H, W, seed=0)
-    noisy = synthetic.add_mc_noise(clean, spp=4, seed=1)  # low-spp: the use case
-    frame = {k: jax.device_put(jnp.asarray(v)) for k, v in noisy.items()}
-    clean_combined = jax.device_put(jnp.asarray(clean["combined"]))
+    frame = frames["fourier"][0]
 
     @jax.jit
     def run_once(params, frame, salt):
@@ -116,12 +102,12 @@ def main() -> None:
     def chain(k: int) -> float:
         t0 = time.perf_counter()
         s = jnp.zeros(())
-        for i in range(k):
+        for _ in range(k):
             s = run_once(params, frame, s * 1e-30)
         float(s)  # one scalar fetch forces the whole chain
         return time.perf_counter() - t0
 
-    log("compiling + warmup...")
+    log(f"[{model_name}] compiling + warmup...")
     chain(1)
     chain(1)
 
@@ -132,41 +118,75 @@ def main() -> None:
         per_frame.append((tk - t1) / (K_CHAIN - 1))
     ms = 1e3 * float(np.median(per_frame))
     fps = 1e3 / ms
-    log(f"per-frame: {ms:.2f} ms  ({fps:.2f} fps)  samples={[f'{1e3*x:.1f}' for x in per_frame]}")
-
-    p_den, p_noisy, ssim_den = (float(x) for x in quality(params, frame, clean_combined))
     log(
-        f"tonemapped vs clean: denoised {p_den:.2f} dB (SSIM {ssim_den:.4f}) "
-        f"| noisy input {p_noisy:.2f} dB | gain {p_den - p_noisy:+.2f} dB"
+        f"[{model_name}] per-frame: {ms:.2f} ms ({fps:.2f} fps) "
+        f"samples={[f'{1e3*x:.1f}' for x in per_frame]}"
     )
 
-    # quality on the UNTOUCHED holdout family too (spheres — never trained
-    # on; VERDICT r2 item 1's reporting requirement)
-    from deepdenoiser_tpu.data import synthetic_spheres
-
-    h_clean = synthetic_spheres.generate_clean_passes(H, W, seed=0)
-    h_noisy = synthetic.add_mc_noise(h_clean, spp=4, seed=1)
-    h_frame = {k: jax.device_put(jnp.asarray(v)) for k, v in h_noisy.items()}
-    hp_den, hp_noisy, h_ssim = (
-        float(x) for x in quality(
-            params, h_frame, jax.device_put(jnp.asarray(h_clean["combined"]))
+    out = {"model": model_name, "ms": round(ms, 2), "fps": round(fps, 3)}
+    for fam, (noisy, clean) in frames.items():
+        p_den, p_noisy, ssim_den = (float(x) for x in quality(params, noisy, clean))
+        out[f"db_{fam}"] = round(p_den - p_noisy, 2)
+        out[f"ssim_{fam}"] = round(ssim_den, 4)
+        log(
+            f"[{model_name}] {fam}: denoised {p_den:.2f} dB "
+            f"(SSIM {ssim_den:.4f}) | noisy {p_noisy:.2f} | "
+            f"gain {p_den - p_noisy:+.2f} dB"
         )
-    )
-    log(
-        f"holdout (spheres): denoised {hp_den:.2f} dB (SSIM {h_ssim:.4f}) "
-        f"| noisy input {hp_noisy:.2f} dB | gain {hp_den - hp_noisy:+.2f} dB"
-    )
+    return out
 
-    print(
-        json.dumps(
-            {
-                "metric": "1080p_full_multipass_denoise_throughput",
-                "value": round(fps, 3),
-                "unit": "frames/sec/chip",
-                "vs_baseline": round(fps / BASELINE_FPS, 3),
-            }
+
+def main() -> None:
+    import argparse
+
+    ap = argparse.ArgumentParser()
+    # Default 32: measured quality-identical to the certified-halo pad at
+    # both 1080p and 4K (see docs/STATUS_R2.md "the 4K story") while
+    # cutting padded-plane work ~25%.
+    ap.add_argument("--border", type=int, default=32,
+                    help="whole-frame reflect border (-1 = certified halo)")
+    ap.add_argument("--model", default="flagship-hq",
+                    help="headline (quality) preset; release weights from weights/")
+    ap.add_argument("--speed-model", default="flagship",
+                    help="speed-endpoint preset ('' skips the second measurement)")
+    args = ap.parse_args()
+
+    from deepdenoiser_tpu.data import synthetic, synthetic_boxes, synthetic_spheres
+    from deepdenoiser_tpu.utils import tpu_guard
+
+    log(f"device: {jax.devices()[0]}")
+    sys.path.insert(0, str(Path(__file__).parent))
+
+    # train family + BOTH untouched holdouts (spheres r3, boxes r4)
+    fams = {
+        "fourier": synthetic.generate_clean_passes(H, W, seed=0),
+        "holdout": synthetic_spheres.generate_clean_passes(H, W, seed=0),
+        "holdout2": synthetic_boxes.generate_clean_passes(H, W, seed=0),
+    }
+    frames = {}
+    for fam, clean in fams.items():
+        noisy = synthetic.add_mc_noise(clean, spp=4, seed=1)
+        frames[fam] = (
+            {k: jax.device_put(jnp.asarray(v)) for k, v in noisy.items()},
+            jax.device_put(jnp.asarray(clean["combined"])),
         )
-    )
+
+    with tpu_guard.tpu_lock("bench.py"):
+        headline = measure(args.model, args.border, frames)
+        speed = None
+        if args.speed_model and args.speed_model != args.model:
+            speed = measure(args.speed_model, args.border, frames)
+
+    result = {
+        "metric": "1080p_full_multipass_denoise_throughput",
+        "value": headline["fps"],
+        "unit": "frames/sec/chip",
+        "vs_baseline": round(headline["fps"] / BASELINE_FPS, 3),
+        "headline": headline,
+    }
+    if speed is not None:
+        result["speed"] = speed
+    print(json.dumps(result))
 
 
 if __name__ == "__main__":

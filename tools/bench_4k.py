@@ -43,6 +43,9 @@ def main() -> int:
     p.add_argument("--spp", type=float, default=4.0)
     args = p.parse_args()
 
+    from deepdenoiser_tpu.utils import tpu_guard
+
+    tpu_guard.guard_latency_tool("bench_4k.py")
     from __graft_entry__ import FLAGSHIP
     from deepdenoiser_tpu.config import InferenceConfig
     from deepdenoiser_tpu.data import synthetic_jax as sj

@@ -38,6 +38,9 @@ def main() -> int:
                         "reported quality numbers are meaningless)")
     args = p.parse_args()
 
+    from deepdenoiser_tpu.utils import tpu_guard
+
+    tpu_guard.guard_latency_tool(f"bench_model:{args.model}")
     from deepdenoiser_tpu.config import InferenceConfig
     from deepdenoiser_tpu.data import synthetic
     from deepdenoiser_tpu.inference import pipeline

@@ -49,6 +49,9 @@ def main() -> int:
     p.add_argument("--border", type=int, default=32)
     args = p.parse_args()
 
+    from deepdenoiser_tpu.utils import tpu_guard
+
+    tpu_guard.guard_latency_tool("bench_sequence.py")
     from tools.pretrain_flagship import MODELS
     from deepdenoiser_tpu.config import InferenceConfig
     from deepdenoiser_tpu.data import synthetic_jax as sj
