@@ -117,7 +117,21 @@ class DenoiserModel(nn.Module):
             net = multiscale.MultiScale(backbone, cfg.n_scales)
 
         if cfg.kernel_prediction:
-            signal = x[..., : 3 * cfg.kpn_slots]
+            if cfg.out_channels == 24:
+                # Joint-mode KPN (r4 efficient preset): ONE backbone forward
+                # emits kernels for all 8 slots (4 groups x direct/indirect)
+                # instead of group mode's 4 full-res forwards per frame. The
+                # encoded signal channels live at 9g+0..5 per group
+                # (encode_joint_inputs layout); _slice_signal returns them in
+                # slot order g0_d, g0_i, g1_d, ... — exactly the head's
+                # per-slot convention and decode_joint_outputs' output order.
+                assert 3 * cfg.kpn_slots == cfg.out_channels, (
+                    f"joint KPN needs kpn_slots={cfg.out_channels // 3}, "
+                    f"got {cfg.kpn_slots}"
+                )
+                signal = _slice_signal(cfg, x)
+            else:
+                signal = x[..., : 3 * cfg.kpn_slots]
             head = kpn.KernelPredictionHead(
                 net, kernel_size=cfg.kpn_size, n_slots=cfg.kpn_slots,
                 use_pallas=cfg.kpn_pallas, logit_norm=cfg.kpn_logit_norm,

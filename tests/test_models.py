@@ -66,6 +66,46 @@ def test_kpn_shapes():
     assert y.shape == (2, 32, 32, 6)
 
 
+def test_kpn_joint_shapes():
+    # r4 efficient KPN: one backbone forward, 8 slots (4 groups x d/i)
+    cfg = tiny_unet_cfg(in_channels=41, out_channels=24,
+                        kernel_prediction=True, kpn_size=3, kpn_slots=8)
+    _, y, _, _ = _forward(cfg, spatial=32)
+    assert y.shape == (2, 32, 32, 24)
+
+
+def test_kpn_joint_signal_slot_order():
+    """The joint KPN filters channels 9g+0..5 per group in slot order
+    g0_d, g0_i, g1_d, ... — the encode_joint_inputs layout and
+    decode_joint_outputs' expectation."""
+    cfg = tiny_unet_cfg(in_channels=41, out_channels=24,
+                        kernel_prediction=True, kpn_size=3, kpn_slots=8)
+    x = jnp.broadcast_to(
+        jnp.arange(41, dtype=jnp.float32), (1, 8, 8, 41)
+    )
+    sig = factory._slice_signal(cfg, x)
+    want = [9 * g + j for g in range(4) for j in range(6)]
+    np.testing.assert_array_equal(np.asarray(sig[0, 0, 0]), want)
+    # convex per-pixel kernels on a spatially-constant signal reproduce it
+    # exactly (interior pixels) regardless of the learned weights — so the
+    # full model's output channels must equal the signal channels there
+    model = factory.build_model(cfg)
+    params = model.init(jax.random.PRNGKey(0), x)
+    y = model.apply(params, x)
+    np.testing.assert_allclose(
+        np.asarray(y[0, 4, 4]), want, rtol=0, atol=1e-4
+    )
+
+
+def test_kpn_joint_rejects_bad_slots():
+    cfg = tiny_unet_cfg(in_channels=41, out_channels=24,
+                        kernel_prediction=True, kpn_size=3, kpn_slots=2)
+    model = factory.build_model(cfg)
+    x = jnp.zeros((1, 16, 16, 41))
+    with pytest.raises(AssertionError):
+        model.init(jax.random.PRNGKey(0), x)
+
+
 def test_unet_requires_divisible_input():
     cfg = tiny_unet_cfg()
     model = factory.build_model(cfg)
