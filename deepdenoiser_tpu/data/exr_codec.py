@@ -60,7 +60,12 @@ class ChannelInfo:
 
 
 def _read_null_str(buf: bytes, pos: int, maxlen: int = 256) -> Tuple[str, int]:
-    end = buf.index(b"\x00", pos, pos + maxlen)
+    try:
+        end = buf.index(b"\x00", pos, pos + maxlen)
+    except ValueError:
+        raise ValueError(
+            f"corrupt EXR: unterminated string at byte {pos}"
+        ) from None
     return buf[pos:end].decode("utf-8", "replace"), end + 1
 
 
@@ -111,7 +116,15 @@ def _decompress_block(data: bytes, expected: int, compression: int) -> bytes:
             raise ValueError(f"bad uncompressed block size {len(data)} != {expected}")
         return data
     if compression in (_EXR_COMP_ZIP, _EXR_COMP_ZIPS):
-        return _zip_unpredict_and_merge(zlib.decompress(data))
+        try:
+            raw = zlib.decompress(data)
+        except zlib.error as e:
+            raise ValueError(f"corrupt EXR: zlib block failed ({e})") from None
+        if len(raw) != expected:
+            raise ValueError(
+                f"corrupt EXR: block inflated to {len(raw)} != {expected}"
+            )
+        return _zip_unpredict_and_merge(raw)
     if compression == _EXR_COMP_RLE:
         return _rle_decompress(data, expected)
     raise NotImplementedError(f"EXR compression {compression} not supported")
@@ -208,30 +221,48 @@ def decode(data: bytes) -> ExrImage:
     data_window = (0, 0, 0, 0)
     line_order = 0
     while True:
+        if pos >= len(data):
+            raise ValueError("corrupt EXR: truncated header")
         if data[pos] == 0:
             pos += 1
             break
         name, pos = _read_null_str(data, pos)
         atype, pos = _read_null_str(data, pos)
+        if pos + 4 > len(data):
+            raise ValueError("corrupt EXR: truncated attribute size")
         (size,) = struct.unpack_from("<i", data, pos)
         pos += 4
+        if size < 0 or pos + size > len(data):
+            raise ValueError(
+                f"corrupt EXR: attribute {name!r} size {size} exceeds file"
+            )
         val = data[pos : pos + size]
         pos += size
         if name == "channels" and atype == "chlist":
             cp = 0
-            while val[cp] != 0:
+            while cp < len(val) and val[cp] != 0:
                 cname, cp = _read_null_str(val, cp)
+                if cp + 16 > len(val):
+                    raise ValueError("corrupt EXR: truncated channel entry")
                 ptype, _plin, xs, ys = struct.unpack_from("<iB3xii", val, cp)
                 cp += 16
+                if ptype not in _PT_DTYPE:
+                    raise ValueError(f"corrupt EXR: bad pixel type {ptype}")
                 channels.append(ChannelInfo(cname, ptype, xs, ys))
             attrs["channels"] = channels
         elif name == "compression":
+            if len(val) < 1:
+                raise ValueError("corrupt EXR: empty compression attribute")
             compression = val[0]
             attrs["compression"] = compression
         elif name == "dataWindow" and atype == "box2i":
+            if len(val) != 16:
+                raise ValueError("corrupt EXR: dataWindow is not a box2i")
             data_window = struct.unpack("<4i", val)
             attrs["dataWindow"] = data_window
         elif name == "lineOrder":
+            if len(val) < 1:
+                raise ValueError("corrupt EXR: empty lineOrder attribute")
             line_order = val[0]
             attrs["lineOrder"] = line_order
         else:
@@ -243,6 +274,13 @@ def decode(data: bytes) -> ExrImage:
     width, height = x_max - x_min + 1, y_max - y_min + 1
     if width <= 0 or height <= 0:
         raise ValueError(f"bad dataWindow {data_window}")
+    # a scanline needs at least 1 byte/channel in the file; cheap overflow
+    # guard against fuzzed gigantic windows allocating silly arrays
+    if width * height * max(1, len(channels)) * 2 > 64 * len(data) + (1 << 20):
+        raise ValueError(
+            f"corrupt EXR: dataWindow {width}x{height} implausible for a "
+            f"{len(data)}-byte file"
+        )
     for c in channels:
         if c.x_sampling != 1 or c.y_sampling != 1:
             raise NotImplementedError("subsampled channels not supported")
@@ -250,7 +288,14 @@ def decode(data: bytes) -> ExrImage:
     lines_per_block = 1 if compression in (_EXR_COMP_NO, _EXR_COMP_RLE, _EXR_COMP_ZIPS) else 16
     if compression == _EXR_COMP_ZIP:
         lines_per_block = 16
+    if compression not in (_EXR_COMP_NO, _EXR_COMP_RLE, _EXR_COMP_ZIPS,
+                           _EXR_COMP_ZIP):
+        raise NotImplementedError(
+            f"EXR compression {compression} not supported (NONE/RLE/ZIPS/ZIP)"
+        )
     n_blocks = (height + lines_per_block - 1) // lines_per_block
+    if pos + 8 * n_blocks > len(data):
+        raise ValueError("corrupt EXR: truncated scanline offset table")
     offsets = struct.unpack_from(f"<{n_blocks}Q", data, pos)
 
     # channels are stored per scanline in alphabetical order
@@ -262,9 +307,17 @@ def decode(data: bytes) -> ExrImage:
     }
 
     for off in offsets:
+        if off + 8 > len(data):
+            raise ValueError(f"corrupt EXR: scanline offset {off} exceeds file")
         y, packed_size = struct.unpack_from("<ii", data, off)
+        if packed_size < 0 or off + 8 + packed_size > len(data):
+            raise ValueError(
+                f"corrupt EXR: scanline block size {packed_size} exceeds file"
+            )
         block = data[off + 8 : off + 8 + packed_size]
         row0 = y - y_min
+        if not (0 <= row0 < height):
+            raise ValueError(f"corrupt EXR: scanline y {y} outside dataWindow")
         n_lines = min(lines_per_block, height - row0)
         raw = _decompress_block(block, row_bytes * n_lines, compression)
         rpos = 0

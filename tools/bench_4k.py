@@ -41,31 +41,28 @@ def main() -> int:
                         "32 measures quality-identical at 4K (see "
                         "docs/STATUS_R2.md)")
     p.add_argument("--spp", type=float, default=4.0)
+    p.add_argument("--model", default="flagship",
+                   help="joint-mode zoo preset (release weights from weights/)")
     args = p.parse_args()
 
     from deepdenoiser_tpu.utils import tpu_guard
 
     tpu_guard.guard_latency_tool("bench_4k.py")
-    from __graft_entry__ import FLAGSHIP
     from deepdenoiser_tpu.config import InferenceConfig
     from deepdenoiser_tpu.data import synthetic_jax as sj
     from deepdenoiser_tpu.inference import pipeline
-    from deepdenoiser_tpu.models import factory
     from deepdenoiser_tpu.ops import metrics
+    from tools.eval_zoo import load_model_params
 
     H, W = args.height, args.width
-    params = factory.init_params(FLAGSHIP, jax.random.PRNGKey(0), spatial=64)
-    wpath = Path(__file__).resolve().parents[1] / "weights/flagship_ema_f16.npz"
-    if wpath.exists():
-        from tools.export_release_weights import load_release_params
-
-        params = jax.device_put(load_release_params(wpath))
-        print("using release weights", file=sys.stderr)
+    mcfg, params, mode = load_model_params(args.model)
+    assert mode == "joint", "bench_4k drives the joint pipeline"
+    print(f"model: {args.model} (release weights)", file=sys.stderr)
 
     icfg = InferenceConfig(tile=args.tile, tile_batch=args.tile_batch,
                            halo=args.halo, border=args.border,
                            compute_dtype="bfloat16")
-    denoise, grid = pipeline.make_joint_frame_denoiser(FLAGSHIP, icfg, H, W)
+    denoise, grid = pipeline.make_joint_frame_denoiser(mcfg, icfg, H, W)
     print(f"grid: {grid}", file=sys.stderr)
 
     @jax.jit
@@ -133,6 +130,7 @@ def main() -> int:
         psnr_noisy.append(float(pn))
 
     print(json.dumps({
+        "model": args.model,
         "resolution": f"{W}x{H}",
         "spp": args.spp,
         "n_frames": args.frames,
