@@ -298,4 +298,21 @@ PRESETS: Dict[str, ExperimentConfig] = {
         data=DataConfig(mode="group"),
         train=TrainConfig(ema_decay=0.999),
     ),
+    # r4 efficient KPN (VERDICT r3 weak #3): joint mode predicts ALL 8
+    # slots' kernels (4 groups x direct/indirect) in ONE forward on the
+    # flagship-hq backbone instead of group mode's 4 full-res forwards —
+    # 114.5 ms vs 282 ms at 1080p (chained, v5e). Recipe: 40k mixed at
+    # half LR (2.5e-4), kpn_logit_norm (the r3 stability fix).
+    "kpn-hq": ExperimentConfig(
+        name="kpn-hq",
+        model=ModelConfig(
+            backbone="unet", base_width=64, depth=3, convs_per_level=2,
+            stem_stride=1, kernel_prediction=True,
+            kpn_size=5, kpn_slots=8, kpn_logit_norm=True,
+            compute_dtype="bfloat16", act="leaky_relu",
+        ),
+        data=DataConfig(mode="joint"),
+        train=TrainConfig(ema_decay=0.999),
+        infer=InferenceConfig(border=32),
+    ),
 }
