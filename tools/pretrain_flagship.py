@@ -138,7 +138,15 @@ MODELS = {
     "tiramisu-lt2-uc48": TIRAMISU_LT2_UC48,
     # r4 efficient KPN (one joint forward instead of 4 group forwards)
     "kpn-joint": KPN_JOINT,
+    "kpn-joint-best": KPN_JOINT,  # eval alias for the best-val checkpoint dir
     "kpn-joint-s2d": KPN_JOINT_S2D,
+    # r4 receptive-field probe (STATUS_R4): flagship-hq's RF is 124 px but
+    # the r1-r3 recipe trains on 96 px crops — the net never sees its own
+    # full context. Same arch, from-scratch distillation (teacher
+    # tiramisu-fast, w=0.7), crop 96 vs 128; arbitrated by eval_zoo at a
+    # common resolution (val PSNR is crop-dependent, not comparable).
+    "hq-c96": UNET_FULLRES,
+    "hq-c128": UNET_FULLRES,
 }
 from deepdenoiser_tpu.data import synthetic_jax
 from deepdenoiser_tpu.ops.losses import LossConfig
