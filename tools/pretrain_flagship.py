@@ -139,6 +139,7 @@ MODELS = {
     # r4 efficient KPN (one joint forward instead of 4 group forwards)
     "kpn-joint": KPN_JOINT,
     "kpn-joint-best": KPN_JOINT,  # eval alias for the best-val checkpoint dir
+    "kpn-hq": KPN_JOINT,  # the shipped preset name (config.PRESETS['kpn-hq'])
     "kpn-joint-s2d": KPN_JOINT_S2D,
     # r4 receptive-field probe (STATUS_R4): flagship-hq's RF is 124 px but
     # the r1-r3 recipe trains on 96 px crops — the net never sees its own
@@ -147,6 +148,13 @@ MODELS = {
     # common resolution (val PSNR is crop-dependent, not comparable).
     "hq-c96": UNET_FULLRES,
     "hq-c128": UNET_FULLRES,
+    # winner of the crop probe, trained long (the r4 flagship-hq successor
+    # candidate; ships over flagship-hq only if it wins BOTH holdouts)
+    "hq-distill-r4": UNET_FULLRES,
+    # multiscale crop fix (STATUS_R4 root cause: coarse bands trained on
+    # 96 px crops own the 1080p low frequencies they never saw; crop 192
+    # gives the coarsest scale 48 px of context instead of 24)
+    "multiscale-c192": MULTISCALE,
 }
 from deepdenoiser_tpu.data import synthetic_jax
 from deepdenoiser_tpu.ops.losses import LossConfig
@@ -188,6 +196,11 @@ def main() -> int:
     p.add_argument("--init-from", default=None,
                    help="release npz to initialize the student from "
                         "(fine-tune; ignored when the workdir resumes)")
+    p.add_argument("--save-every", type=int, default=0,
+                   help="resume-checkpoint cadence in steps (0 = the "
+                        "max(10*log_every, 10k) default). The axon tunnel "
+                        "drops strand the client (STATUS_R4 incident); a "
+                        "tighter cadence bounds the redo cost")
     args = p.parse_args()
 
     from deepdenoiser_tpu.utils import tpu_guard
@@ -270,7 +283,7 @@ def main() -> int:
     mgr = CheckpointManager(args.out, keep=1)
     best_mgr = CheckpointManager(args.out + "-best", keep=1) if args.val_every else None
     best = -float("inf")
-    save_every = max(args.log_every * 10, 10_000)
+    save_every = args.save_every or max(args.log_every * 10, 10_000)
     for i in range(start + 1, args.steps + 1):
         key, k = jax.random.split(key)
         state, mets = base_step(state, gen(k))
