@@ -241,16 +241,27 @@ def main() -> int:
         t_npz = Path(__file__).resolve().parents[1] / "weights" / (
             args.teacher.replace("-", "_") + "_ema_f16.npz")
         t_params = jax.device_put(load_release_params(t_npz))
-        t_apply = jax.jit(factory.build_model(t_mcfg).apply)
-
-        def gen(key):
-            b = dict(raw_gen(key))
-            b["y_teacher"] = t_apply(t_params, b["x"])
-            return b
+        t_model = factory.build_model(t_mcfg)
         print(f"distilling from {args.teacher} ({t_npz.name}), "
               f"weight {args.distill_weight}", flush=True)
+
+    # ONE dispatch per step: batch synthesis (+ teacher forward) and the
+    # train step compile into a single program. Through the tunneled chip
+    # every extra dispatch costs a host round-trip, which dominated the
+    # distillation probes (teacher-as-separate-dispatch ran 12 steps/s
+    # where the plain run does ~58; see STATUS_R4). Teacher params are an
+    # ARGUMENT, not a closure — closed-over device arrays would be baked
+    # into the program as constants.
+    if args.teacher:
+        def _fused(st, key, tp):
+            b = dict(raw_gen(key))
+            b["y_teacher"] = t_model.apply(tp, b["x"])
+            return base_step(st, b)
+        _fused_jit = jax.jit(_fused, donate_argnums=0)
+        step_fn = lambda st, key: _fused_jit(st, key, t_params)  # noqa: E731
     else:
-        gen = raw_gen
+        step_fn = jax.jit(lambda st, key: base_step(st, raw_gen(key)),
+                          donate_argnums=0)
 
     # Validation for checkpoint SELECTION (not the quality holdout): same
     # families as training but keys the training stream never sees
@@ -286,7 +297,7 @@ def main() -> int:
     save_every = args.save_every or max(args.log_every * 10, 10_000)
     for i in range(start + 1, args.steps + 1):
         key, k = jax.random.split(key)
-        state, mets = base_step(state, gen(k))
+        state, mets = step_fn(state, k)
         if i % args.log_every == 0 or i == args.steps:
             loss = float(mets["loss"])  # scalar fetch; forces the chain
             rate = (i - start) / (time.time() - t0)
