@@ -71,9 +71,19 @@ def main() -> int:
                         "the TPU with a live training run — a concurrent "
                         "client can wedge the trainer's stream permanently "
                         "(MEMORY tpu-env-facts)")
+    p.add_argument("--quality-only", action="store_true",
+                   help="skip the latency chains (latency prints as n/a). "
+                        "PSNR/SSIM are contention-immune, so this mode is "
+                        "safe to run while another process holds the chip; "
+                        "latency mode takes the tpu_guard lock and refuses "
+                        "a contended chip (VERDICT r3 weak #8)")
     args = p.parse_args()
     if args.cpu:
         jax.config.update("jax_platforms", "cpu")
+    if not (args.cpu or args.quality_only):
+        from deepdenoiser_tpu.utils import tpu_guard
+
+        tpu_guard.guard_latency_tool("eval_zoo")
     args.chain = max(args.chain, 2)  # (tk - t1)/(chain - 1) needs chain >= 2
 
     from deepdenoiser_tpu.config import InferenceConfig
@@ -131,7 +141,7 @@ def main() -> int:
                     metrics.psnr_per_image(tm(frame["combined"])[None], ref)[0])
 
         lat_ms = None
-        if not args.cpu:
+        if not (args.cpu or args.quality_only):
             frame0 = {k: jax.device_put(jnp.asarray(v))
                       for k, v in families["train-family"][0][0].items()}
             s = den_only(params, frame0, jnp.zeros(()))
