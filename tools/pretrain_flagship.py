@@ -150,7 +150,14 @@ MODELS = {
     "hq-c128": UNET_FULLRES,
     # winner of the crop probe, trained long (the r4 flagship-hq successor
     # candidate; ships over flagship-hq only if it wins BOTH holdouts)
+    # ...measured: LOST both holdouts (+7.67/+9.99 vs +8.75/+12.68) —
+    # 120k from-scratch does not buy back the incumbent's 370k steps
+    # (STATUS_R4 "does NOT ship"). The cheap direction instead:
     "hq-distill-r4": UNET_FULLRES,
+    # fine-tune the INCUMBENT at crop 128 (--init-from the release npz,
+    # teacher tiramisu-fast, low LR) — starts from +8.75/+12.68, adds the
+    # proven crop-128 context instead of re-earning it from zero
+    "hq-ft-c128": UNET_FULLRES,
     # multiscale crop fix (STATUS_R4 root cause: coarse bands trained on
     # 96 px crops own the 1080p low frequencies they never saw; crop 192
     # gives the coarsest scale 48 px of context instead of 24)
