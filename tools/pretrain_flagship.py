@@ -162,6 +162,11 @@ MODELS = {
     # 96 px crops own the 1080p low frequencies they never saw; crop 192
     # gives the coarsest scale 48 px of context instead of 24)
     "multiscale-c192": MULTISCALE,
+    # the crop>=RF lever applied to the quality crown: tiramisu-fast has
+    # RF 207 but was trained at crop 96 only — fine-tune the incumbent at
+    # crop 208 (--init-from the release npz, low LR, no teacher: nothing
+    # in the zoo outranks it)
+    "tiramisu-ft-c208": TIRAMISU_FAST,
 }
 from deepdenoiser_tpu.data import synthetic_jax
 from deepdenoiser_tpu.ops.losses import LossConfig
