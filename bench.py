@@ -156,6 +156,10 @@ def main() -> None:
 
     log(f"device: {jax.devices()[0]}")
     sys.path.insert(0, str(Path(__file__).parent))
+    # fail fast on a wedge-locked chip (jax.devices() answers, first
+    # compute hangs ~40 min; STATUS_R4 infra incidents) — the driver
+    # should see an error line, not a silent hang
+    tpu_guard.require_live_chip("bench.py")
 
     # train family + BOTH untouched holdouts (spheres r3, boxes r4)
     fams = {

@@ -106,6 +106,64 @@ def tpu_lock(tool: str):
         _release()
 
 
+def _probe_src(platform: str | None) -> str:
+    force = (
+        f"import jax; jax.config.update('jax_platforms', {platform!r}); "
+        if platform
+        else "import jax; "
+    )
+    return force + "import jax.numpy as jnp; print(float(jnp.ones((128, 128)).sum()))"
+
+
+def probe_compute(timeout_s: float = 60.0, platform: str | None = None) -> bool:
+    """True iff a FRESH process completes a tiny device computation in time.
+
+    Detects the wedged-chip state (three occurrences on 2026-08-19, see
+    docs/STATUS_R4.md): after an axon tunnel drop — or after killing a
+    client that was blocked at first compute — the server side holds the
+    device for ~40 min. In that state ``jax.devices()`` still answers, so
+    ``require_platform`` passes, and the first real computation hangs
+    forever. The probe runs in a subprocess so the *wedge blocks the
+    child*, which the timeout then kills (killing an already-blocked
+    client was observed NOT to re-arm the lock); the caller gets a clean
+    boolean instead of inheriting the hang.
+
+    ``platform``: force the child's backend (tests use 'cpu'); default
+    inherits the sitecustomize platform, i.e. the real chip.
+    """
+    import subprocess
+    import sys
+
+    try:
+        r = subprocess.run(
+            [sys.executable, "-c", _probe_src(platform)],
+            timeout=timeout_s,
+            stdout=subprocess.DEVNULL,
+            stderr=subprocess.DEVNULL,
+        )
+        return r.returncode == 0
+    except subprocess.TimeoutExpired:
+        return False
+
+
+def require_live_chip(tool: str, timeout_s: float = 60.0) -> None:
+    """Fail fast (RuntimeError) when the chip is wedge-locked instead of
+    hanging at first compute. Call before long compiles in chip tools."""
+    if probe_compute(timeout_s):
+        return
+    raise RuntimeError(
+        f"{tool}: the TPU accepts connections but a bounded compute probe "
+        f"did not finish within {timeout_s:.0f}s — the chip is wedge-locked "
+        "(tunnel-drop aftermath; the server-side lock clears ~40-65 min "
+        "after the last blocked client died). IMPORTANT: this probe itself "
+        "just became a blocked client, restarting that clock — do NOT call "
+        "this in a retry loop tighter than the window or the chip stays "
+        "wedged forever (measured 2026-08-19: 5-min retries held the lock "
+        ">2.5 h). Wait >=45 min of total chip silence, then probe once. "
+        "See docs/STATUS_R4.md infra incidents."
+    )
+
+
 def guard_latency_tool(tool: str, expected: str = "tpu") -> None:
     """One-call guard for CLI mains: assert the intended backend and hold
     the chip lock until process exit (atexit release). Long-running chip
@@ -118,3 +176,5 @@ def guard_latency_tool(tool: str, expected: str = "tpu") -> None:
     require_platform(expected)
     _acquire(tool)
     atexit.register(_release)
+    if expected == "tpu":
+        require_live_chip(tool)

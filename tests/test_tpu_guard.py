@@ -59,3 +59,24 @@ def test_guard_skip_env(lock_path, monkeypatch):
     # would raise on platform (cpu != tpu) if not skipped
     tpu_guard.guard_latency_tool("t4")
     assert not lock_path.exists()
+
+
+def test_probe_compute_cpu_true():
+    # a healthy backend completes the tiny probe well inside the timeout;
+    # force the child to CPU so the test never touches the real chip
+    assert tpu_guard.probe_compute(timeout_s=120.0, platform="cpu")
+
+
+def test_probe_compute_timeout_false(monkeypatch):
+    # simulate the wedged chip: the child blocks forever, the probe's
+    # subprocess timeout converts that into a clean False
+    monkeypatch.setattr(
+        tpu_guard, "_probe_src", lambda platform: "import time; time.sleep(60)"
+    )
+    assert not tpu_guard.probe_compute(timeout_s=1.0)
+
+
+def test_require_live_chip_raises_on_wedge(monkeypatch):
+    monkeypatch.setattr(tpu_guard, "probe_compute", lambda timeout_s: False)
+    with pytest.raises(RuntimeError, match="wedge-locked"):
+        tpu_guard.require_live_chip("t5", timeout_s=1.0)

@@ -84,6 +84,12 @@ def main() -> int:
         from deepdenoiser_tpu.utils import tpu_guard
 
         tpu_guard.guard_latency_tool("eval_zoo")
+    elif not args.cpu:
+        # quality-only still compiles on the chip: fail fast on a
+        # wedge-locked chip instead of hanging (STATUS_R4 infra incidents)
+        from deepdenoiser_tpu.utils import tpu_guard
+
+        tpu_guard.require_live_chip("eval_zoo")
     args.chain = max(args.chain, 2)  # (tk - t1)/(chain - 1) needs chain >= 2
 
     from deepdenoiser_tpu.config import InferenceConfig

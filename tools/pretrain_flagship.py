@@ -167,6 +167,24 @@ MODELS = {
     # crop 208 (--init-from the release npz, low LR, no teacher: nothing
     # in the zoo outranks it)
     "tiramisu-ft-c208": TIRAMISU_FAST,
+    # second crop-128 fine-tune leg: hq-ft-c128's val was still monotone
+    # at its final step, so restart the cosine (SGDR-style) from the
+    # shipped 60k EMA at a lower peak
+    "hq-ft2-c128": UNET_FULLRES,
+    # crop>=RF lever on the efficient KPN (backbone RF 124 + 5x5 apply;
+    # kpn-joint trained at crop 96 only)
+    "kpn-hq-c128": KPN_JOINT,
+    # crop>=RF on the SPEED endpoint: the s2d stem doubles every conv's
+    # input-pixel extent, so flagship's RF is 249 — it has only ever seen
+    # 96 px crops (38% of its context). Crop 256 fine-tune of the release
+    # weights, same teacher recipe as hq-ft-c128.
+    "flagship-ft-c256": FLAGSHIP,
+    # crop>=RF on the sub-100 ms quality leader (RF 195, trained at 96)
+    "tiramisu-lt1-ft-c208": TIRAMISU_LT1,
+    # second SGDR leg of the tiramisu-fast crop-208 fine-tune (the first
+    # leg won 3/4 families but lost spheres by 0.12 dB — val was still
+    # monotone at its final step)
+    "tiramisu-ft2-c208": TIRAMISU_FAST,
 }
 from deepdenoiser_tpu.data import synthetic_jax
 from deepdenoiser_tpu.ops.losses import LossConfig
