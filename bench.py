@@ -15,6 +15,16 @@ one parsed number hid the r2→r3 model switch as a throughput regression):
 and speed ends of the Pareto front, on the training family AND both
 untouched holdout families.
 
+Degraded mode (VERDICT r4 missing #1 — BENCH_r04 was a stack trace):
+if the bounded compute probe says the chip is wedge-locked (tunnel-drop
+aftermath: jax.devices() answers but first compute hangs ~40-65 min,
+docs/STATUS_R4.md infra incidents), the bench does NOT raise. It switches
+to the CPU backend, skips latency (meaningless off-chip), computes the
+quality gains at a reduced resolution (quality is platform-independent),
+and still prints the single JSON line with `"status": "chip_wedged"` and
+`"value": null`, exiting 0. rc != 0 is reserved for real faults. The
+contract is unit-tested on CPU (tests/test_bench_contract.py).
+
 Timing methodology for the axon-tunneled TPU (see MEMORY: tpu-env-facts):
 `jax.block_until_ready` does not block and device->host transfers are slow
 through the relay, so each timed sample chains K jitted calls (serialized
@@ -37,6 +47,7 @@ import jax.numpy as jnp
 import numpy as np
 
 H, W = 1080, 1920
+WEDGED_H, WEDGED_W = 512, 768  # CPU quality-only fallback resolution
 BASELINE_FPS = 10.0  # <100 ms/frame north star
 K_CHAIN = 8
 N_SAMPLES = 5
@@ -66,8 +77,29 @@ def _load(model_name: str):
     return mcfg, params, trained
 
 
-def measure(model_name: str, border: int, frames: dict) -> dict:
-    """Latency (chained) + tonemapped PSNR/SSIM gains on every family."""
+def build_frames(h: int, w: int) -> dict:
+    """Train family + BOTH untouched holdouts (spheres r3, boxes r4)."""
+    from deepdenoiser_tpu.data import synthetic, synthetic_boxes, synthetic_spheres
+
+    fams = {
+        "fourier": synthetic.generate_clean_passes(h, w, seed=0),
+        "holdout": synthetic_spheres.generate_clean_passes(h, w, seed=0),
+        "holdout2": synthetic_boxes.generate_clean_passes(h, w, seed=0),
+    }
+    frames = {}
+    for fam, clean in fams.items():
+        noisy = synthetic.add_mc_noise(clean, spp=4, seed=1)
+        frames[fam] = (
+            {k: jax.device_put(jnp.asarray(v)) for k, v in noisy.items()},
+            jax.device_put(jnp.asarray(clean["combined"])),
+        )
+    return frames
+
+
+def measure(model_name: str, border: int, frames: dict, h: int, w: int,
+            latency: bool = True) -> dict:
+    """Latency (chained; None when latency=False) + tonemapped PSNR/SSIM
+    gains on every family."""
     from deepdenoiser_tpu.config import InferenceConfig
     from deepdenoiser_tpu.inference import pipeline
     from deepdenoiser_tpu.ops import metrics
@@ -76,7 +108,7 @@ def measure(model_name: str, border: int, frames: dict) -> dict:
     log(f"[{model_name}] weights: {'release' if trained else 'random init'}")
 
     icfg = InferenceConfig(tile=0, compute_dtype="bfloat16", border=border)
-    denoise, grid = pipeline.make_joint_frame_denoiser(mcfg, icfg, H, W)
+    denoise, grid = pipeline.make_joint_frame_denoiser(mcfg, icfg, h, w)
     log(f"[{model_name}] grid: {grid} (net {grid.net_h}x{grid.net_w})")
 
     frame = frames["fourier"][0]
@@ -107,23 +139,25 @@ def measure(model_name: str, border: int, frames: dict) -> dict:
         float(s)  # one scalar fetch forces the whole chain
         return time.perf_counter() - t0
 
-    log(f"[{model_name}] compiling + warmup...")
-    chain(1)
-    chain(1)
+    ms = fps = None
+    if latency:
+        log(f"[{model_name}] compiling + warmup...")
+        chain(1)
+        chain(1)
 
-    per_frame = []
-    for _ in range(N_SAMPLES):
-        t1 = chain(1)
-        tk = chain(K_CHAIN)
-        per_frame.append((tk - t1) / (K_CHAIN - 1))
-    ms = 1e3 * float(np.median(per_frame))
-    fps = 1e3 / ms
-    log(
-        f"[{model_name}] per-frame: {ms:.2f} ms ({fps:.2f} fps) "
-        f"samples={[f'{1e3*x:.1f}' for x in per_frame]}"
-    )
+        per_frame = []
+        for _ in range(N_SAMPLES):
+            t1 = chain(1)
+            tk = chain(K_CHAIN)
+            per_frame.append((tk - t1) / (K_CHAIN - 1))
+        ms = round(1e3 * float(np.median(per_frame)), 2)
+        fps = round(1e3 / ms, 3)
+        log(
+            f"[{model_name}] per-frame: {ms:.2f} ms ({fps:.2f} fps) "
+            f"samples={[f'{1e3*x:.1f}' for x in per_frame]}"
+        )
 
-    out = {"model": model_name, "ms": round(ms, 2), "fps": round(fps, 3)}
+    out = {"model": model_name, "ms": ms, "fps": fps}
     for fam, (noisy, clean) in frames.items():
         p_den, p_noisy, ssim_den = (float(x) for x in quality(params, noisy, clean))
         out[f"db_{fam}"] = round(p_den - p_noisy, 2)
@@ -136,7 +170,68 @@ def measure(model_name: str, border: int, frames: dict) -> dict:
     return out
 
 
-def main() -> None:
+def run(args) -> dict:
+    """Build the result dict; never raises on a wedged chip."""
+    from deepdenoiser_tpu.utils import tpu_guard
+
+    sys.path.insert(0, str(Path(__file__).parent))
+
+    # Fail SOFT on a wedge-locked chip (jax.devices() answers, first
+    # compute hangs ~40 min; STATUS_R4 infra incidents): the driver must
+    # always get a parseable JSON line, so a wedge degrades to CPU
+    # quality-only instead of a stack trace (VERDICT r4 #1). The probe
+    # runs BEFORE any device use in this process so the platform can
+    # still be switched.
+    live = tpu_guard.probe_compute(timeout_s=args.probe_timeout)
+    if not live:
+        log("chip probe FAILED — wedge-locked. Degrading to CPU "
+            "quality-only (latency/fps = null, status = chip_wedged). "
+            "Chip recovery needs >=45 min of total chip silence "
+            "(docs/STATUS_R4.md).")
+        jax.config.update("jax_platforms", "cpu")
+
+    log(f"device: {jax.devices()[0]}")
+
+    if live:
+        h, w = H, W
+        frames = build_frames(h, w)
+        with tpu_guard.tpu_lock("bench.py"):
+            headline = measure(args.model, args.border, frames, h, w)
+            speed = None
+            if args.speed_model and args.speed_model != args.model:
+                speed = measure(args.speed_model, args.border, frames, h, w)
+    else:
+        # quality is platform-independent; resolution reduced so the CPU
+        # backend finishes in minutes, families and metrics unchanged
+        h, w = args.wedged_height, args.wedged_width
+        frames = build_frames(h, w)
+        headline = measure(args.model, args.border, frames, h, w, latency=False)
+        speed = None
+        if args.speed_model and args.speed_model != args.model:
+            speed = measure(args.speed_model, args.border, frames, h, w,
+                            latency=False)
+
+    result = {
+        "metric": "1080p_full_multipass_denoise_throughput",
+        "value": headline["fps"],
+        "unit": "frames/sec/chip",
+        "vs_baseline": round(headline["fps"] / BASELINE_FPS, 3)
+        if headline["fps"] is not None else None,
+        "status": "ok" if live else "chip_wedged",
+        "headline": headline,
+    }
+    if not live:
+        result["note"] = (
+            f"chip wedge-locked at capture; quality gains measured on the "
+            f"CPU backend at {h}x{w} (platform-independent), latency "
+            f"unmeasurable this capture — last captured headline stands"
+        )
+    if speed is not None:
+        result["speed"] = speed
+    return result
+
+
+def main() -> int:
     import argparse
 
     ap = argparse.ArgumentParser()
@@ -149,49 +244,16 @@ def main() -> None:
                     help="headline (quality) preset; release weights from weights/")
     ap.add_argument("--speed-model", default="flagship",
                     help="speed-endpoint preset ('' skips the second measurement)")
+    ap.add_argument("--probe-timeout", type=float, default=75.0,
+                    help="wedge-probe bound (s); the probe is a subprocess")
+    ap.add_argument("--wedged-height", type=int, default=WEDGED_H)
+    ap.add_argument("--wedged-width", type=int, default=WEDGED_W)
     args = ap.parse_args()
 
-    from deepdenoiser_tpu.data import synthetic, synthetic_boxes, synthetic_spheres
-    from deepdenoiser_tpu.utils import tpu_guard
-
-    log(f"device: {jax.devices()[0]}")
-    sys.path.insert(0, str(Path(__file__).parent))
-    # fail fast on a wedge-locked chip (jax.devices() answers, first
-    # compute hangs ~40 min; STATUS_R4 infra incidents) — the driver
-    # should see an error line, not a silent hang
-    tpu_guard.require_live_chip("bench.py")
-
-    # train family + BOTH untouched holdouts (spheres r3, boxes r4)
-    fams = {
-        "fourier": synthetic.generate_clean_passes(H, W, seed=0),
-        "holdout": synthetic_spheres.generate_clean_passes(H, W, seed=0),
-        "holdout2": synthetic_boxes.generate_clean_passes(H, W, seed=0),
-    }
-    frames = {}
-    for fam, clean in fams.items():
-        noisy = synthetic.add_mc_noise(clean, spp=4, seed=1)
-        frames[fam] = (
-            {k: jax.device_put(jnp.asarray(v)) for k, v in noisy.items()},
-            jax.device_put(jnp.asarray(clean["combined"])),
-        )
-
-    with tpu_guard.tpu_lock("bench.py"):
-        headline = measure(args.model, args.border, frames)
-        speed = None
-        if args.speed_model and args.speed_model != args.model:
-            speed = measure(args.speed_model, args.border, frames)
-
-    result = {
-        "metric": "1080p_full_multipass_denoise_throughput",
-        "value": headline["fps"],
-        "unit": "frames/sec/chip",
-        "vs_baseline": round(headline["fps"] / BASELINE_FPS, 3),
-        "headline": headline,
-    }
-    if speed is not None:
-        result["speed"] = speed
+    result = run(args)
     print(json.dumps(result))
+    return 0
 
 
 if __name__ == "__main__":
-    main()
+    sys.exit(main())

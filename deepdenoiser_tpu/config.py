@@ -301,7 +301,7 @@ PRESETS: Dict[str, ExperimentConfig] = {
     # r4 efficient KPN (VERDICT r3 weak #3): joint mode predicts ALL 8
     # slots' kernels (4 groups x direct/indirect) in ONE forward on the
     # flagship-hq backbone instead of group mode's 4 full-res forwards —
-    # 114.5 ms vs 282 ms at 1080p (chained, v5e). Recipe: 40k mixed at
+    # 130.2 ms vs 282 ms at 1080p (chained, v5e; STATUS_R4). Recipe: 40k mixed at
     # half LR (2.5e-4), kpn_logit_norm (the r3 stability fix).
     "kpn-hq": ExperimentConfig(
         name="kpn-hq",

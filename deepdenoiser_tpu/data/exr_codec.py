@@ -274,12 +274,19 @@ def decode(data: bytes) -> ExrImage:
     width, height = x_max - x_min + 1, y_max - y_min + 1
     if width <= 0 or height <= 0:
         raise ValueError(f"bad dataWindow {data_window}")
-    # a scanline needs at least 1 byte/channel in the file; cheap overflow
-    # guard against fuzzed gigantic windows allocating silly arrays
-    if width * height * max(1, len(channels)) * 2 > 64 * len(data) + (1 << 20):
+    # Overflow guard against fuzzed gigantic windows allocating silly
+    # arrays. This must be an ABSOLUTE cap on decoded bytes, not a ratio
+    # vs the compressed size: ZIP legitimately compresses constant data
+    # >1000:1 (a flat 3840x2160 HALF pass is a ~37 KB file), so the former
+    # 64:1 ratio guard rejected this codec's own round-trip of flat/black
+    # passes (ADVICE r4 #1). Real bad windows still die here (a single
+    # byte-flip in dataWindow inflates width/height past the cap) or at
+    # the scanline offset-table bounds checks below.
+    decoded_bytes = width * height * sum(_PT_SIZE[c.pixel_type] for c in channels)
+    if decoded_bytes > (1 << 32):  # 4 GiB
         raise ValueError(
-            f"corrupt EXR: dataWindow {width}x{height} implausible for a "
-            f"{len(data)}-byte file"
+            f"corrupt EXR: dataWindow {width}x{height} x {len(channels)} "
+            f"channels would decode to {decoded_bytes} bytes (cap 4 GiB)"
         )
     for c in channels:
         if c.x_sampling != 1 or c.y_sampling != 1:

@@ -205,7 +205,10 @@ def run_sequence(
                  "halo": grid.halo, "n_tiles": grid.n_tiles},
         "latency_ms": lat_ms,
         "latency_ms_mean": chained_ms,  # chained methodology (as bench.py)
-        "latency_ms_median": chained_ms,
+        # real median of the per-frame series (fetch-synced pass) — NOT the
+        # chained mean: a consumer compares mean vs median to spot outlier
+        # frames, which a duplicated value would hide (VERDICT r4 weak #8)
+        "latency_ms_median": float(np.median(lat_ms)),
         "fetch_overhead_ms": fetch_ms,
         "psnr": psnrs,
         "psnr_mean": float(np.mean(psnrs)),

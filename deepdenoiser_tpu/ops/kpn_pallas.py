@@ -35,7 +35,11 @@ ON-CHIP VERDICT (v5e, 2026-08-17): bit-exact (maxdiff 0.0 compiled) and
 3.02 ms per 5x5 filter apply @1080p x 3ch. End-to-end the kpn preset
 drops 383.8 -> 367.4 ms (the applies are a small share of the KPCN
 frame). Enabled for inference by InferenceConfig.kpn_pallas=True
-(TPU-only); training keeps the XLA path — pallas_call has no VJP.
+(TPU-only). Since r4 the Pallas apply is DIFFERENTIABLE via
+`jax.custom_vjp` (see `_kpn_pallas_fwd`/`_kpn_pallas_bwd` below: backward =
+tap-flipped shift-accumulate + windowed channel reductions, gradchecked
+vs jax.grad of the XLA apply at k=3/5), so training and inference can
+share the same apply.
 """
 
 from __future__ import annotations

@@ -72,15 +72,33 @@ def holder() -> int | None:
 
 
 def _acquire(tool: str) -> None:
-    other = holder()
-    if other is not None:
-        raise RuntimeError(
-            f"{tool}: device is contended — PID {other} holds {LOCK_PATH}. "
-            "Latency measured now would be inflated garbage "
-            "(docs/STATUS_R3.md methodology note). Wait for that process "
-            "or remove the lock if you know it is not using the chip."
-        )
-    LOCK_PATH.write_text(str(os.getpid()))
+    # Atomic create (O_CREAT|O_EXCL): the former check-then-write let two
+    # latency tools starting concurrently both pass the holder() check and
+    # overwrite each other's PID — exactly the contended-latency scenario
+    # the lock exists to prevent (ADVICE r4 #3). On EEXIST with a dead
+    # holder, reclaim (unlink) and retry once.
+    for attempt in range(2):
+        try:
+            fd = os.open(LOCK_PATH, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+            with os.fdopen(fd, "w") as f:
+                f.write(str(os.getpid()))
+            return
+        except FileExistsError:
+            other = holder()
+            if other is not None:
+                raise RuntimeError(
+                    f"{tool}: device is contended — PID {other} holds "
+                    f"{LOCK_PATH}. Latency measured now would be inflated "
+                    "garbage (docs/STATUS_R3.md methodology note). Wait for "
+                    "that process or remove the lock if you know it is not "
+                    "using the chip."
+                )
+            if attempt == 0:  # stale lock (dead PID or our own): reclaim
+                try:
+                    LOCK_PATH.unlink()
+                except FileNotFoundError:
+                    pass
+    raise RuntimeError(f"{tool}: could not acquire {LOCK_PATH} (lock churn)")
 
 
 def _release() -> None:

@@ -27,6 +27,32 @@ def test_roundtrip(tmp_path, compression, pixel_type):
         np.testing.assert_array_equal(img.channels[k].astype(np.float32), want)
 
 
+def test_roundtrip_constant_4k_half():
+    """Flat/black passes (empty AOVs, masks, constant alpha) ZIP-compress
+    far beyond 64:1 — a constant 3840x2160 HALF channel is a ~37 KB file.
+    The decoder's allocation guard must be an absolute cap, not a
+    compressed-size ratio, or the codec rejects its own output and real
+    Cycles renders with flat layers become unreadable (ADVICE r4 #1)."""
+    chan = np.full((2160, 3840), 0.25, np.float32)
+    data = exr_codec.encode({"A": chan}, pixel_type="half", compression="zip")
+    assert len(data) < 1 << 20  # the premise: extreme compression ratio
+    img = exr_codec.decode(data)
+    np.testing.assert_array_equal(img.channels["A"].astype(np.float32), chan)
+
+
+def test_reject_gigantic_data_window():
+    """The absolute cap still rejects fuzzed windows that would allocate
+    silly arrays (>4 GiB decoded)."""
+    chan = np.zeros((8, 8), np.float32)
+    data = bytearray(exr_codec.encode({"A": chan}, compression="none"))
+    # patch dataWindow x_max to ~2^30 (header layout: find the box2i bytes)
+    box = struct.pack("<4i", 0, 0, 7, 7)
+    i = data.index(box)
+    data[i : i + 16] = struct.pack("<4i", 0, 0, (1 << 30) - 1, 7)
+    with pytest.raises(ValueError, match="cap 4 GiB"):
+        exr_codec.decode(bytes(data))
+
+
 def test_header_fields(tmp_path):
     p = tmp_path / "t.exr"
     exr_codec.write(p, {"Y": np.ones((20, 30), np.float32)})

@@ -71,12 +71,25 @@ def main() -> int:
                         "the TPU with a live training run — a concurrent "
                         "client can wedge the trainer's stream permanently "
                         "(MEMORY tpu-env-facts)")
+    p.add_argument("--mc-gt-spp", type=int, default=1024,
+                   help="GT sample count for the traced MC family (residual "
+                        "GT noise power = spp_noisy/spp_gt below the noisy "
+                        "frame; 1024 vs 4 = -24 dB)")
+    p.add_argument("--no-mc", action="store_true",
+                   help="skip the traced Monte-Carlo family column "
+                        "(data/mc_tracer.py — genuine N-sample estimates: "
+                        "fireflies, penumbra variance; VERDICT r4 #2). "
+                        "Generation is jitted and fast on the chip but "
+                        "costs minutes on --cpu")
     p.add_argument("--quality-only", action="store_true",
                    help="skip the latency chains (latency prints as n/a). "
-                        "PSNR/SSIM are contention-immune, so this mode is "
-                        "safe to run while another process holds the chip; "
-                        "latency mode takes the tpu_guard lock and refuses "
-                        "a contended chip (VERDICT r3 weak #8)")
+                        "The MEASUREMENT is contention-immune (PSNR/SSIM "
+                        "are deterministic), but this is still a concurrent "
+                        "chip client — a second client can wedge a live "
+                        "trainer's stream permanently (MEMORY "
+                        "tpu-env-facts), so prefer --cpu while training is "
+                        "live; latency mode takes the tpu_guard lock and "
+                        "refuses a contended chip (VERDICT r3 weak #8)")
     args = p.parse_args()
     if args.cpu:
         jax.config.update("jax_platforms", "cpu")
@@ -118,6 +131,22 @@ def main() -> int:
             noisy = synthetic.add_mc_noise(clean, spp=args.spp, seed=31 * f)
             frames.append((noisy, clean["combined"]))
         families[fam] = frames
+    if not args.no_mc:
+        # traced Monte-Carlo family: the noisy frame is a GENUINE
+        # args.spp-sample estimate (fireflies, penumbra-correlated
+        # variance), GT = the same estimator at --mc-gt-spp
+        from deepdenoiser_tpu.data import mc_tracer
+
+        frames = []
+        for f in range(args.frames):
+            clean = mc_tracer.generate_clean_passes(
+                H, W, seed=2000 + f, spp=args.mc_gt_spp)
+            noisy = mc_tracer.generate_noisy_passes(
+                H, W, seed=2000 + f, spp=args.spp, sample_seed=31 * f)
+            frames.append((noisy, clean["combined"]))
+            print(f"mc frame {f}: traced gt {args.mc_gt_spp} spp + noisy "
+                  f"{args.spp} spp", file=sys.stderr, flush=True)
+        families["mc"] = frames
 
     tm = metrics.tonemap_for_metrics
     rows = []
@@ -185,10 +214,13 @@ def main() -> int:
             row[f"{key}_ssim"] = round(float(np.mean(ssims)), 4)
         rows.append(row)
         lat_str = f"{lat_ms:7.1f}" if lat_ms is not None else "    n/a"
+        mc_str = (f"  mc {row['mc_psnr']:.2f} dB ({row['mc_gain_db']:+.2f})"
+                  if "mc_psnr" in row else "")
         print(f"{name:12s} mode={mode:5s} {lat_str} ms  "
               f"train {row['train_psnr']:.2f} dB ({row['train_gain_db']:+.2f})  "
               f"holdout {row['holdout_psnr']:.2f} dB ({row['holdout_gain_db']:+.2f})  "
-              f"holdout2 {row['holdout2_psnr']:.2f} dB ({row['holdout2_gain_db']:+.2f})",
+              f"holdout2 {row['holdout2_psnr']:.2f} dB ({row['holdout2_gain_db']:+.2f})"
+              f"{mc_str}",
               flush=True)
 
     print(json.dumps({"zoo": rows}))

@@ -17,12 +17,17 @@ LOG="$1"; shift
 [ "$1" = "--" ] && shift
 jiffies() { awk '{print $14+$15}' "/proc/$1/stat" 2>/dev/null || echo dead; }
 launch() { "$@" >> "$LOG" 2>&1 & CHILD=$!; echo "[watchdog] launched pid $CHILD" >&2; }
+# Only accept a completion line written AFTER this watchdog started: launch
+# appends (>>), so a reused LOG from a previous completed run would make any
+# child crash look like completion (ADVICE r4 #4).
+BASELINE_LINES=$(wc -l < "$LOG" 2>/dev/null || echo 0)
+completed() { tail -n "+$((BASELINE_LINES + 1))" "$LOG" 2>/dev/null | grep -q "saved checkpoint to"; }
 launch "$@"
 stale=0
 while :; do
   sleep 45
   if ! kill -0 "$CHILD" 2>/dev/null; then
-    if grep -q "saved checkpoint to" "$LOG"; then
+    if completed; then
       echo "[watchdog] run completed" >&2; exit 0
     fi
     echo "[watchdog] child died without completing; relaunching" >&2
