@@ -171,6 +171,14 @@ MODELS = {
     # at its final step, so restart the cosine (SGDR-style) from the
     # shipped 60k EMA at a lower peak
     "hq-ft2-c128": UNET_FULLRES,
+    # eval aliases for best-val checkpoint dirs (eval_zoo loads
+    # checkpoints/<name> latest; these point it at the -best selection)
+    "hq-ft2-c128-best": UNET_FULLRES,
+    "kpn-hq-c128-best": KPN_JOINT,
+    "multiscale-c192-best": MULTISCALE,
+    "flagship-ft-c256-best": FLAGSHIP,
+    "tiramisu-ft2-c208-best": TIRAMISU_FAST,
+    "tiramisu-ft-c208-best": TIRAMISU_FAST,
     # crop>=RF lever on the efficient KPN (backbone RF 124 + 5x5 apply;
     # kpn-joint trained at crop 96 only)
     "kpn-hq-c128": KPN_JOINT,
