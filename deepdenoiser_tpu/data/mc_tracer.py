@@ -146,6 +146,64 @@ def make_scene(seed: int, n_spheres: int = 7,
     )
 
 
+def make_scene_jax(key: Array, n_spheres: int = 7,
+                   groups: Sequence[str] = LIGHT_GROUPS) -> Scene:
+    """jax.random twin of make_scene: every draw comes from `key`, so scene
+    generation can live INSIDE a jitted training-batch program (the other
+    families' pattern, data/synthetic_jax.py). Same parameter ranges as the
+    numpy draw; the streams differ (this is a training corpus, not a
+    replacement for the eval family's seed contract)."""
+    ks = jax.random.split(key, 18)
+    u = jax.random.uniform
+    centers = jnp.stack([
+        u(ks[0], (n_spheres,), minval=-4.0, maxval=4.0),
+        u(ks[1], (n_spheres,), minval=0.4, maxval=2.5),
+        u(ks[2], (n_spheres,), minval=4.0, maxval=12.0),
+    ], axis=-1)
+    radii = u(ks[3], (n_spheres,), minval=0.4, maxval=1.4)
+    centers = centers.at[:, 1].set(
+        jnp.maximum(centers[:, 1], radii * 0.6))
+
+    # the firefly source: one bright emitter 80% of the time
+    emit_on = (u(ks[4], ()) < 0.8).astype(jnp.float32)
+    emit_idx = jax.random.randint(ks[5], (), 0, n_spheres)
+    emission = (jax.nn.one_hot(emit_idx, n_spheres)[:, None]
+                * u(ks[6], (3,), minval=30.0, maxval=120.0) * emit_on)
+
+    light_dir = jax.random.normal(ks[7], (3,))
+    light_dir = light_dir.at[1].set(jnp.abs(light_dir[1]) + 1.2)
+    light_dir = light_dir / jnp.linalg.norm(light_dir)
+    light_center = light_dir * u(ks[8], (), minval=14.0, maxval=22.0)
+    light_center = light_center.at[1].set(
+        jnp.maximum(light_center[1], 8.0))
+    ln = -light_center / jnp.linalg.norm(light_center)
+
+    g = len(groups)
+    share = jnp.asarray([1.0, 0.45, 0.2, 0.12][:g], jnp.float32)[:, None]
+    return Scene(
+        centers=centers,
+        radii=radii,
+        sphere_albedo=u(ks[9], (n_spheres, 3), minval=0.05, maxval=0.95),
+        emission=emission,
+        plane_albedo=u(ks[10], (2, 3), minval=0.1, maxval=0.9),
+        checker_scale=u(ks[11], (), minval=0.6, maxval=1.4),
+        light_center=light_center,
+        light_radius=u(ks[12], (), minval=1.0, maxval=3.5),
+        light_normal=ln,
+        light_radiance=(u(ks[13], (3,), minval=4.0, maxval=12.0)
+                        * u(ks[14], (), minval=2.0, maxval=5.0)),
+        sky_top=u(ks[15], (3,), minval=0.1, maxval=0.5),
+        sky_hor=u(ks[16], (3,), minval=0.3, maxval=0.8),
+        group_tint_d=share * u(ks[17], (g, 3), minval=0.6, maxval=1.4),
+        group_tint_i=share * u(jax.random.fold_in(key, 101), (g, 3),
+                               minval=0.4, maxval=1.1),
+        group_albedo_mix=jnp.concatenate([
+            jnp.ones((1,)),
+            u(jax.random.fold_in(key, 102), (g - 1,), minval=0.2, maxval=0.9),
+        ]),
+    )
+
+
 # --- geometry helpers (all vectorized over (..., 3) rays) -----------------
 
 def _intersect(scene: Scene, origin: Array, dirs: Array
@@ -307,17 +365,30 @@ def _indirect_sample(scene: Scene, pts: Array, normal: Array, key: Array
 
 
 def render(scene: Scene, height: int, width: int, spp: int, key: Array,
-           groups: Sequence[str] = LIGHT_GROUPS) -> Dict[str, Array]:
+           groups: Sequence[str] = LIGHT_GROUPS,
+           window_origin=None, full_shape=None) -> Dict[str, Array]:
     """Trace one frame at `spp` samples/pixel; returns the full pass dict.
 
     Jittable (static height/width/spp/groups). The estimate at spp=s and
     the GT at spp=1024 are the same estimator — only the sample keys and
-    counts differ."""
+    counts differ.
+
+    `window_origin=(oy, ox)` + `full_shape=(fh, fw)` render a height×width
+    CROP of a virtual fh×fw frame (pixel offsets may be traced values —
+    training draws random windows inside one jitted program). The default
+    (None, None) reproduces the full-frame mapping exactly."""
     # --- primary rays: deterministic (pixel centers) ----------------------
-    aspect = width / height
+    fh, fw = (height, width) if full_shape is None else full_shape
+    aspect = fw / fh
     fov = 0.9
-    yy = jnp.linspace(1.0, -1.0, height)[:, None]
-    xx = jnp.linspace(-aspect, aspect, width)[None, :]
+    oy, ox = (0, 0) if window_origin is None else window_origin
+    # global mapping: yy 1..-1 over the FULL frame, xx -aspect..aspect —
+    # identical to the original linspace endpoints when the window is the
+    # whole frame
+    yy = (1.0 - 2.0 * (oy + jnp.arange(height, dtype=jnp.float32))
+          / (fh - 1))[:, None]
+    xx = (-aspect + 2.0 * aspect * (ox + jnp.arange(width, dtype=jnp.float32))
+          / (fw - 1))[None, :]
     origin = jnp.array([0.0, 1.5, 0.0], jnp.float32)
     dirs = jnp.stack([
         jnp.broadcast_to(xx * fov, (height, width)),
@@ -383,8 +454,8 @@ def render(scene: Scene, height: int, width: int, spp: int, key: Array,
 
 # module-level jit wrapper: per-call `jax.jit(render)` would recompile on
 # every invocation (fresh function identity); this one caches across calls
-# with the same static (height, width, spp, groups)
-_render_jit = jax.jit(render, static_argnums=(1, 2, 3, 5))
+# with the same static (height, width, spp, groups, full_shape)
+_render_jit = jax.jit(render, static_argnums=(1, 2, 3, 5, 7))
 
 def generate_clean_passes(height: int, width: int, seed: int = 0,
                           spp: int = DEFAULT_GT_SPP,

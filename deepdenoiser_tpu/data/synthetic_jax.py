@@ -277,6 +277,79 @@ def add_mc_noise(
     return noisy
 
 
+# GT sample count for traced MC training targets: 256 spp sits 18 dB under
+# a 4-spp input realization (noise power ~ 1/spp) — residual target noise is
+# zero-mean per pixel, so the regression's minimizer is unchanged
+# (Noise2Noise argument) while GT tracing stays ~36x cheaper than the
+# eval-grade 1024 spp.
+MC_TRAIN_GT_SPP = 256
+_MC_FULL_SHAPE = (1080, 1920)  # virtual full frame the windows crop from
+
+
+def _encode_pair(noisy: Dict[str, Array], clean: Dict[str, Array],
+                 mode: str) -> Dict[str, Array]:
+    """(noisy passes, clean passes) -> {'x','y'} with the host pipeline's
+    encode semantics (data/loader.py make_batch_encoder): targets are
+    demodulated by the NOISY albedo the network sees."""
+    from deepdenoiser_tpu import transforms
+
+    if mode == "joint":
+        x = transforms.encode_joint_inputs(noisy)
+        ys = []
+        for g in LIGHT_GROUPS:
+            dn, inn, cn = passes.group_passes(g)
+            albedo = noisy[cn]
+            ys.append(transforms.normalize(
+                dn, transforms.demodulate(clean[dn], albedo)))
+            ys.append(transforms.normalize(
+                inn, transforms.demodulate(clean[inn], albedo)))
+        y = jnp.concatenate(ys, axis=-1)
+    elif mode == "group":
+        x = transforms.encode_group_inputs(noisy, "diffuse")
+        dn, inn, cn = passes.group_passes("diffuse")
+        albedo = noisy[cn]
+        y = jnp.concatenate([
+            transforms.normalize(dn, transforms.demodulate(clean[dn], albedo)),
+            transforms.normalize(inn, transforms.demodulate(clean[inn], albedo)),
+        ], axis=-1)
+    else:  # rgb
+        x = transforms.encode_rgb_inputs(noisy)
+        y = transforms.normalize("combined", clean["combined"])
+    return {"x": x, "y": y}
+
+
+def _mc_one(k: Array, crop: int, mode: str, spp: int) -> Dict[str, Array]:
+    """One traced-MC training example: a random crop-window of a virtual
+    1080p frame, noisy = a genuine `spp`-sample estimate, GT = the same
+    estimator at MC_TRAIN_GT_SPP (data/mc_tracer.py). Exposure/scene-scale
+    randomization applies the SAME factors to both realizations."""
+    from deepdenoiser_tpu.data import mc_tracer
+
+    k_scene, k_wy, k_wx, k_gt, k_noise, k_rand = jax.random.split(k, 6)
+    scene = mc_tracer.make_scene_jax(k_scene)
+    fh, fw = _MC_FULL_SHAPE
+    oy = jax.random.randint(k_wy, (), 0, fh - crop + 1)
+    ox = jax.random.randint(k_wx, (), 0, fw - crop + 1)
+    clean = mc_tracer.render(scene, crop, crop, MC_TRAIN_GT_SPP, k_gt,
+                             LIGHT_GROUPS, (oy, ox), (fh, fw))
+    noisy = mc_tracer.render(scene, crop, crop, spp, k_noise,
+                             LIGHT_GROUPS, (oy, ox), (fh, fw))
+    clean = randomize_scene(k_rand, clean)
+    noisy = randomize_scene(k_rand, noisy)  # same key -> same factors
+    return _encode_pair(noisy, clean, mode)
+
+
+def _mc_subbatch(keys: Array, crop: int, mode: str) -> Dict[str, Array]:
+    """Traced-MC examples at the two eval sample counts (spp must be static
+    for the sample fori_loop): first half spp 4, second half spp 16."""
+    n = keys.shape[0]
+    n4 = max(n - n // 2, 1)
+    parts = [jax.vmap(lambda k: _mc_one(k, crop, mode, 4))(keys[:n4])]
+    if n > n4:
+        parts.append(jax.vmap(lambda k: _mc_one(k, crop, mode, 16))(keys[n4:]))
+    return jax.tree.map(lambda *xs: jnp.concatenate(xs, axis=0), *parts)
+
+
 @functools.partial(jax.jit, static_argnums=(1, 2, 3, 4))
 def training_batch(
     key: Array, batch: int, crop: int, mode: str = "joint",
@@ -291,8 +364,15 @@ def training_batch(
     `family`: 'fourier' (round-1/2 behavior, no scene randomization, so old
     checkpoints/benches reproduce), 'voronoi', or 'mixed' — the round-3
     corpus: half Fourier + half Voronoi, both scene-scale/exposure
-    randomized (randomize_scene)."""
-    from deepdenoiser_tpu import transforms
+    randomized (randomize_scene). 'mc' = all examples traced Monte-Carlo
+    (data/mc_tracer.py: true N-sample estimates — fireflies, penumbra
+    variance — at spp 4/16, GT at MC_TRAIN_GT_SPP); 'mixed-mc' = thirds
+    fourier/voronoi/mc. Holdout hygiene: the MC scenes share the sphere
+    geometry CLASS with the spheres holdout (nothing else — materials,
+    lighting and the noise itself differ), so when training with an mc
+    family the boxes holdout (data/synthetic_boxes.py) is the untouched
+    arbiter (mc_tracer.py docstring note)."""
+    keys = jax.random.split(key, batch)
 
     def one(k, gen, rand):
         k1, k2, k3, k4 = jax.random.split(k, 4)
@@ -301,35 +381,14 @@ def training_batch(
             clean = randomize_scene(k4, clean)
         spp = 2.0 ** jax.random.uniform(k2, (), minval=1.0, maxval=6.0)
         noisy = add_mc_noise(k3, clean, spp)
-        if mode == "joint":
-            x = transforms.encode_joint_inputs(noisy)
-            ys = []
-            for g in LIGHT_GROUPS:
-                dn, inn, cn = passes.group_passes(g)
-                albedo = noisy[cn]
-                ys.append(transforms.normalize(
-                    dn, transforms.demodulate(clean[dn], albedo)))
-                ys.append(transforms.normalize(
-                    inn, transforms.demodulate(clean[inn], albedo)))
-            y = jnp.concatenate(ys, axis=-1)
-        elif mode == "group":
-            x = transforms.encode_group_inputs(noisy, "diffuse")
-            dn, inn, cn = passes.group_passes("diffuse")
-            albedo = noisy[cn]
-            y = jnp.concatenate([
-                transforms.normalize(dn, transforms.demodulate(clean[dn], albedo)),
-                transforms.normalize(inn, transforms.demodulate(clean[inn], albedo)),
-            ], axis=-1)
-        else:  # rgb
-            x = transforms.encode_rgb_inputs(noisy)
-            y = transforms.normalize("combined", clean["combined"])
-        return {"x": x, "y": y}
+        return _encode_pair(noisy, clean, mode)
 
-    keys = jax.random.split(key, batch)
     if family == "fourier":
         return jax.vmap(lambda k: one(k, generate_clean_passes, False))(keys)
     if family == "voronoi":
         return jax.vmap(lambda k: one(k, generate_voronoi_passes, True))(keys)
+    if family == "mc":
+        return _mc_subbatch(keys, crop, mode)
     if family == "mixed":
         n_v = batch // 2
         if n_v == 0:
@@ -338,5 +397,18 @@ def training_batch(
         vor = jax.vmap(lambda k: one(k, generate_voronoi_passes, True))(keys[:n_v])
         return jax.tree.map(
             lambda a, b: jnp.concatenate([a, b], axis=0), four, vor
+        )
+    if family == "mixed-mc":
+        n_f = max(batch // 3, 1)
+        n_v = max(batch // 3, 1)
+        n_m = batch - n_f - n_v
+        if n_m < 1:
+            raise ValueError(f"mixed-mc needs batch >= 3, got {batch}")
+        four = jax.vmap(lambda k: one(k, generate_clean_passes, True))(keys[:n_f])
+        vor = jax.vmap(lambda k: one(k, generate_voronoi_passes, True))(
+            keys[n_f:n_f + n_v])
+        mc = _mc_subbatch(keys[n_f + n_v:], crop, mode)
+        return jax.tree.map(
+            lambda a, b, c: jnp.concatenate([a, b, c], axis=0), four, vor, mc
         )
     raise ValueError(f"unknown family {family!r}")

@@ -216,10 +216,16 @@ def main() -> int:
     p.add_argument("--grad-weight", type=float, default=0.2)
     p.add_argument("--model", default="flagship", choices=sorted(MODELS))
     p.add_argument("--family", default="mixed",
-                   choices=["fourier", "voronoi", "mixed"],
+                   choices=["fourier", "voronoi", "mixed", "mc", "mixed-mc"],
                    help="training signal family (r3 default: mixed = "
                         "Fourier + Voronoi, scene-scale/exposure randomized; "
-                        "'fourier' reproduces the r1/r2 corpus)")
+                        "'fourier' reproduces the r1/r2 corpus; 'mc' = "
+                        "traced Monte-Carlo estimates (data/mc_tracer.py — "
+                        "real fireflies/penumbra noise, r5), 'mixed-mc' = "
+                        "thirds fourier/voronoi/mc. With an mc family the "
+                        "spheres holdout shares the scene geometry CLASS "
+                        "with training — the boxes holdout is the untouched "
+                        "arbiter)")
     p.add_argument("--val-every", type=int, default=2000,
                    help="validate on unseen-seed batches of the training "
                         "families every N steps; the best-EMA-PSNR "

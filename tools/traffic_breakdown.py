@@ -83,7 +83,19 @@ def main() -> int:
     p.add_argument("--width", type=int, default=1920)
     p.add_argument("--border", type=int, default=-1)
     p.add_argument("--top", type=int, default=25)
+    p.add_argument("--time", action="store_true",
+                   help="EXECUTE each bisected stage on the chip with the "
+                        "chained methodology (bench_model.py) and report "
+                        "per-stage milliseconds — attributes the measured "
+                        "frame latency, not just its bytes (VERDICT r4 "
+                        "missing #4). Takes the tpu_guard lock.")
+    p.add_argument("--chain", type=int, default=8)
+    p.add_argument("--samples", type=int, default=5)
     args = p.parse_args()
+    if args.time:
+        from deepdenoiser_tpu.utils import tpu_guard
+
+        tpu_guard.guard_latency_tool("traffic_breakdown")
 
     from tools.pretrain_flagship import MODELS
     from deepdenoiser_tpu import transforms
@@ -153,6 +165,55 @@ def main() -> int:
     print(f"{'stage':<18} {'GFLOP':>9} {'GB':>8}")
     for name, f, b in stages:
         print(f"{name:<18} {f/1e9:9.1f} {b/1e9:8.2f}")
+
+    if args.time:
+        import time as _time
+
+        import numpy as np
+
+        frame_dev = {k: jax.device_put(v) for k, v in frame.items()}
+        enc_dev = jax.device_put(enc_arr)
+        dec_dev = jax.device_put(dec_arr)
+        params_dev = jax.device_put(params)
+
+        # salted chains: each stage's input is perturbed by (0-valued)
+        # salt derived from the previous iteration's scalar, serializing
+        # the chain without host round-trips (bench.py methodology)
+        enc_t = jax.jit(lambda pd, s: encode(
+            {**pd, "diffuse_direct": pd["diffuse_direct"] + s}).sum())
+        net_t = jax.jit(lambda e, s: net(e + s).sum())
+        dec_t = jax.jit(lambda d, pd, s: decode(d + s, pd).sum())
+        full_t = jax.jit(lambda p, pd, s: full(
+            p, {**pd, "diffuse_direct": pd["diffuse_direct"] + s}))
+
+        def timed(fn, label):
+            def chain(k):
+                t0 = _time.perf_counter()
+                s = jnp.zeros(())
+                for _ in range(k):
+                    s = fn(s * 1e-30)
+                float(s)
+                return _time.perf_counter() - t0
+            chain(1); chain(1)
+            per = []
+            for _ in range(args.samples):
+                t1 = chain(1)
+                tk = chain(args.chain)
+                per.append((tk - t1) / (args.chain - 1))
+            ms = 1e3 * float(np.median(per))
+            print(f"  {label:<18} {ms:8.2f} ms")
+            return ms
+
+        print("\nstage timings (chained, median of "
+              f"{args.samples}x{args.chain}):")
+        ms_e = timed(lambda s: enc_t(frame_dev, s), "encode")
+        ms_n = timed(lambda s: net_t(enc_dev, s), "net")
+        ms_d = timed(lambda s: dec_t(dec_dev, frame_dev, s),
+                     "decode+recompose")
+        ms_f = timed(lambda s: full_t(params_dev, frame_dev, s),
+                     "FULL pipeline")
+        print(f"  {'sum of stages':<18} {ms_e + ms_n + ms_d:8.2f} ms "
+              f"(fusion across stage boundaries makes FULL < sum)")
 
     agg, rows = top_ops(cfull, args.top)
     print("\noutput-buffer bytes by op kind (FULL program):")
