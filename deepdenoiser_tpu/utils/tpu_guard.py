@@ -164,9 +164,18 @@ def probe_compute(timeout_s: float = 60.0, platform: str | None = None) -> bool:
         return False
 
 
-def require_live_chip(tool: str, timeout_s: float = 60.0) -> None:
+def require_live_chip(tool: str, timeout_s: float = 150.0) -> None:
     """Fail fast (RuntimeError) when the chip is wedge-locked instead of
-    hanging at first compute. Call before long compiles in chip tools."""
+    hanging at first compute. Call before long compiles in chip tools.
+
+    The budget must cover worst-case HOST slowness, not just the wire: the
+    probe is a fresh subprocess whose jax import + tiny compile take ~19 s
+    on an idle host but >60 s when the single host core is contended
+    (measured 2026-08-20: a concurrent pytest run pushed the probe past a
+    60 s budget and produced a FALSE wedge diagnosis, whose prescribed
+    remedy — 45 min of chip silence — costs far more than a longer probe).
+    A real wedge blocks forever, so a generous budget only delays the
+    error path, never the success path."""
     if probe_compute(timeout_s):
         return
     raise RuntimeError(
