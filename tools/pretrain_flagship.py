@@ -171,6 +171,15 @@ MODELS = {
     # at its final step, so restart the cosine (SGDR-style) from the
     # shipped 60k EMA at a lower peak
     "hq-ft2-c128": UNET_FULLRES,
+    # r5: mixed-mc fine-tune of the incumbent (VERDICT r4 #2 conditional —
+    # the Gaussian-trained zoo collapses to +2..+4 dB on traced MC noise;
+    # STATUS_R5 table). Subsumes the voided hq-ft2-c128 re-run: same init
+    # (release flagship-hq npz), same crop 128, cosine restart, but the
+    # corpus gains the traced-MC third. NO teacher: every candidate
+    # teacher is Gaussian-trained and would distill the firefly
+    # amplification we are training away.
+    "hq-ft-mc": UNET_FULLRES,
+    "hq-ft-mc-best": UNET_FULLRES,
     # eval aliases for best-val checkpoint dirs (eval_zoo loads
     # checkpoints/<name> latest; these point it at the -best selection)
     "hq-ft2-c128-best": UNET_FULLRES,
