@@ -33,22 +33,29 @@ def apply_d4(arr: np.ndarray, k: int, flip: bool, is_normal: bool) -> np.ndarray
     geometrically (normals of a rotated height field) in
     tests/test_pipeline_data.py::test_augment_normal_geometry_consistent.
     """
-    out = arr
-    for _ in range(k % 4):
-        out = np.rot90(out, 1, axes=(0, 1))
-        if is_normal:
-            x, y = out[..., 0].copy(), out[..., 1].copy()
-            out = out.copy()
-            if passes.NORMAL_Y_UP:
-                out[..., 0], out[..., 1] = -y, x
-            else:
-                out[..., 0], out[..., 1] = y, -x
+    k = k % 4
+    out = np.rot90(arr, k, axes=(0, 1)) if k else arr
     if flip:
         out = out[:, ::-1]
-        if is_normal:
-            out = out.copy()
+    if is_normal and (k or flip):
+        # One closed-form rotation instead of k sequential swaps (the
+        # per-step loop + its per-step copies were the host input
+        # pipeline's hottest path — r5 measurement in ShardReader
+        # docstring). y-up: one CCW array rotation maps (x, y)->(-y, x),
+        # i.e. θ=+90°; k steps compose to θ=k·90°.
+        out = out.copy()
+        c, s = ((1, 0), (0, 1), (-1, 0), (0, -1))[k]
+        if not passes.NORMAL_Y_UP:
+            s = -s
+        x, y = out[..., 0].copy(), out[..., 1].copy()
+        out[..., 0] = c * x - s * y
+        out[..., 1] = s * x + c * y
+        if flip:
             out[..., 0] = -out[..., 0]
-    return np.ascontiguousarray(out)
+    # No ascontiguousarray: rows may be rot90/flip VIEWS; grain's batch
+    # np.stack performs the single necessary copy. (The old per-row
+    # compaction was a second full copy for nothing.)
+    return out
 
 
 def augment_example(

@@ -71,7 +71,16 @@ def make_iterator(
     ds = make_dataset(shard_dir, cfg, training, host_count, host_index)
     if training:
         ds = ds.repeat()
-    return iter(ds.to_iter_dataset())
+    # Grain's ReadOptions default to a many-core host (16 threads, 500
+    # buffered batches); see DataConfig.read_threads for why that is
+    # pathological on small hosts. 0 = auto-size to the machine.
+    import os as _os
+
+    threads = cfg.read_threads or min(4, _os.cpu_count() or 1)
+    prefetch = cfg.prefetch_batches or 8
+    return iter(ds.to_iter_dataset(
+        grain.ReadOptions(num_threads=threads,
+                          prefetch_buffer_size=prefetch)))
 
 
 # ---------------------------------------------------------------------------
@@ -80,11 +89,14 @@ def make_iterator(
 
 
 def _src(batch: Mapping[str, Array], name: str) -> Array:
-    return batch[f"{shards.SOURCE_PREFIX}/{name}"]
+    # Shard rows arrive in their STORED dtype (f16 for bounded passes —
+    # shards.dtype_for); upcast on-device where it fuses into the encode
+    # chain for free instead of burning host CPU (ShardReader docstring).
+    return jnp.asarray(batch[f"{shards.SOURCE_PREFIX}/{name}"]).astype(jnp.float32)
 
 
 def _tgt(batch: Mapping[str, Array], name: str) -> Array:
-    return batch[f"{shards.TARGET_PREFIX}/{name}"]
+    return jnp.asarray(batch[f"{shards.TARGET_PREFIX}/{name}"]).astype(jnp.float32)
 
 
 def make_batch_encoder(cfg: DataConfig, aux: Sequence[str] = passes.AUX_PASSES):
@@ -217,7 +229,8 @@ def make_eval_decoder(cfg: DataConfig):
             for extra in passes.COMPOSITE_EXTRA:
                 key = f"{shards.SOURCE_PREFIX}/{extra}"
                 if key in batch:
-                    out[extra] = batch[key]  # noisy pass-through, as inference
+                    # noisy pass-through, as inference (upcast: stored f16)
+                    out[extra] = jnp.asarray(batch[key]).astype(jnp.float32)
             pred_rgb = transforms.recompose(out, groups)
             return pred_rgb, _tgt(batch, "combined"), _src(batch, "combined")
 

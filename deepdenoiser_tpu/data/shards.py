@@ -211,9 +211,19 @@ class ShardReader:
         return data
 
     def __getitem__(self, i: int) -> Dict[str, np.ndarray]:
+        """Row i with its STORED dtypes (f16 color/normal/alpha, f32
+        radiance/depth — `dtype_for`). The f32 upcast happens on-device in
+        `loader.make_batch_encoder` where it fuses into the encode chain;
+        hosting it here burned 1-core CPU and doubled the host→device
+        bytes for the f16 passes. Measured r5 (batch 16, crop 128, 1-core
+        host): 8.22 batches/s before; 10.25 with this change + sane
+        ReadOptions (loader.make_iterator); 13.32 after the apply_d4
+        rewrite — +62% total. Rows may be views into the LRU shard
+        cache — downstream transforms must copy before mutating
+        (augment.apply_d4 does; grain's batch-stack always copies)."""
         if not 0 <= i < len(self):
             raise IndexError(i)
         shard = int(np.searchsorted(self._offsets, i, side="right") - 1)
         row = i - int(self._offsets[shard])
         data = self._load_shard(shard)
-        return {k: v[row].astype(np.float32) for k, v in data.items()}
+        return {k: v[row] for k, v in data.items()}
