@@ -212,7 +212,7 @@ class ShardReader:
 
     def __getitem__(self, i: int) -> Dict[str, np.ndarray]:
         """Row i with its STORED dtypes (f16 color/normal/alpha, f32
-        radiance/depth — `dtype_for`). The f32 upcast happens on-device in
+        radiance/depth — `_disk_dtype`). The f32 upcast happens on-device in
         `loader.make_batch_encoder` where it fuses into the encode chain;
         hosting it here burned 1-core CPU and doubled the host→device
         bytes for the f16 passes. Measured r5 (batch 16, crop 128, 1-core

