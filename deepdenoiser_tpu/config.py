@@ -242,6 +242,13 @@ PRESETS: Dict[str, ExperimentConfig] = {
     # per-scale supervision scored below the noisy input on holdout;
     # scale_supervision_weight>0 is the fix and part of this preset —
     # training without it is known-bad (STATUS_R3 ladder has the numbers).
+    # r5: CONFIG-ONLY (weights retired per VERDICT r4 #3b). The shipped
+    # weights were strictly dominated on every eval column (incl. the new
+    # traced-MC family: +0.36 dB vs flagship-hq's +2.74) and the diagnosed
+    # fix — train coarse-supervised scales at crop ≥ RF 499/2^s, i.e.
+    # crop 192+ (STATUS_R4 root cause; tools/diag_multiscale.py) — was
+    # blocked by the r5 chip outage. To revive: pretrain_flagship.py
+    # --model multiscale-c192 --crop 192 --family mixed-mc.
     "unet-multiscale": ExperimentConfig(
         name="unet-multiscale",
         model=ModelConfig(backbone="unet", base_width=48, depth=3, n_scales=3,

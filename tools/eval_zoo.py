@@ -58,7 +58,7 @@ def load_model_params(name: str):
 def main() -> int:
     p = argparse.ArgumentParser(description=__doc__)
     p.add_argument("--models", nargs="+",
-                   default=["flagship", "multiscale", "tiramisu", "kpn"])
+                   default=["flagship", "flagship-hq", "tiramisu", "kpn"])
     p.add_argument("--height", type=int, default=1080)
     p.add_argument("--width", type=int, default=1920)
     p.add_argument("--frames", type=int, default=2)
