@@ -218,6 +218,26 @@ PRESETS: Dict[str, ExperimentConfig] = {
         train=TrainConfig(ema_decay=0.999),
         infer=InferenceConfig(border=32),
     ),
+    # flagship-mc (r5): the same architecture fine-tuned 50k steps on the
+    # mixed-mc corpus (thirds Fourier/Voronoi/traced Monte-Carlo,
+    # data/mc_tracer.py) from the flagship-hq release weights. On genuine
+    # MC noise — fireflies, penumbra variance — it gains +12.68 dB where
+    # the Gaussian-trained incumbent manages +2.77; it also wins the
+    # train, voronoi and boxes columns, giving up 0.42 dB spheres PSNR
+    # (STATUS_R5 arbitration). Same 59.5 ms/1080p latency (identical
+    # arch). RECOMMENDED for real renderer output; flagship-hq remains
+    # the Gaussian-ladder reference point.
+    "flagship-mc": ExperimentConfig(
+        name="flagship-mc",
+        model=ModelConfig(
+            backbone="unet", base_width=64, depth=3, convs_per_level=2,
+            stem_stride=1, compute_dtype="bfloat16", predict_residual=True,
+            act="leaky_relu",
+        ),
+        data=DataConfig(mode="joint"),
+        train=TrainConfig(ema_decay=0.999),
+        infer=InferenceConfig(border=32),
+    ),
     # flagship-max: KPCN kernel prediction — the best holdout generalizer
     # (r3 mixed corpus: +13.2 dB train / +9.1 dB on the untouched spheres
     # holdout, SSIM .96; group mode, applied per light group).

@@ -180,6 +180,13 @@ MODELS = {
     # amplification we are training away.
     "hq-ft-mc": UNET_FULLRES,
     "hq-ft-mc-best": UNET_FULLRES,
+    # ...shipped 2026-08-20 as 'flagship-mc' (weights/flagship_mc_ema_f16.npz,
+    # 50k mixed-mc steps from the flagship-hq release): traced-MC gain
+    # +2.77 → +12.68 dB, better on train/voronoi/boxes, spheres PSNR
+    # −0.42 (SSIM up) — misses the strict no-holdout-loss gate by a hair,
+    # so the Gaussian incumbent keeps the flagship-hq name and this ships
+    # alongside it as the real-noise production preset (STATUS_R5).
+    "flagship-mc": UNET_FULLRES,
     # eval aliases for best-val checkpoint dirs (eval_zoo loads
     # checkpoints/<name> latest; these point it at the -best selection)
     "hq-ft2-c128-best": UNET_FULLRES,
