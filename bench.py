@@ -13,7 +13,12 @@ one parsed number hid the r2→r3 model switch as a throughput regression):
 `value` stays the headline quality model's fps for the driver, and the
 `headline` / `speed` objects carry {model, ms, fps, gains} for the quality
 and speed ends of the Pareto front, on the training family AND both
-untouched holdout families.
+untouched holdout families. Round 5 adds (a) a `db_mc` column on every
+model — gain on a GENUINE 4-spp Monte-Carlo estimate from the mini path
+tracer (data/mc_tracer.py: fireflies, variance-correlated penumbrae),
+where Gaussian-trained models collapse to +2…+4 dB — and (b) a third
+`mc` endpoint object measuring the `flagship-mc` ship (the mixed-MC
+fine-tune: +12.68 dB traced-MC at the headline's latency).
 
 Degraded mode (VERDICT r4 missing #1 — BENCH_r04 was a stack trace):
 if the bounded compute probe says the chip is wedge-locked (tunnel-drop
@@ -77,8 +82,12 @@ def _load(model_name: str):
     return mcfg, params, trained
 
 
-def build_frames(h: int, w: int) -> dict:
-    """Train family + BOTH untouched holdouts (spheres r3, boxes r4)."""
+def build_frames(h: int, w: int, mc_gt_spp: int = 0) -> dict:
+    """Train family + BOTH untouched holdouts (spheres r3, boxes r4) +
+    (r5) the traced-MC family: noisy = a GENUINE 4-sample Monte-Carlo
+    estimate from the mini path tracer (fireflies, variance-correlated
+    penumbra noise — data/mc_tracer.py), GT = the same estimator at
+    `mc_gt_spp`. mc_gt_spp=0 skips the mc family."""
     from deepdenoiser_tpu.data import synthetic, synthetic_boxes, synthetic_spheres
 
     fams = {
@@ -93,6 +102,20 @@ def build_frames(h: int, w: int) -> dict:
             {k: jax.device_put(jnp.asarray(v)) for k, v in noisy.items()},
             jax.device_put(jnp.asarray(clean["combined"])),
         )
+    if mc_gt_spp:
+        from deepdenoiser_tpu.data import mc_tracer
+
+        # render on-device and KEEP the arrays there: the generate_*
+        # host API would round-trip ~50 MB of passes through the slow
+        # tunnel relay twice
+        scene = mc_tracer.make_scene(0)
+        gt = mc_tracer._render_jit(
+            scene, h, w, mc_gt_spp, jax.random.PRNGKey(1),
+            tuple(mc_tracer.LIGHT_GROUPS))
+        noisy = mc_tracer._render_jit(
+            scene, h, w, 4, jax.random.fold_in(jax.random.PRNGKey(2), 4),
+            tuple(mc_tracer.LIGHT_GROUPS))
+        frames["mc"] = (dict(noisy), gt["combined"])
     return frames
 
 
@@ -157,7 +180,8 @@ def measure(model_name: str, border: int, frames: dict, h: int, w: int,
             f"samples={[f'{1e3*x:.1f}' for x in per_frame]}"
         )
 
-    out = {"model": model_name, "ms": ms, "fps": fps}
+    out = {"model": model_name, "ms": ms, "fps": fps,
+           "weights": "release" if trained else "random-init"}
     for fam, (noisy, clean) in frames.items():
         p_den, p_noisy, ssim_den = (float(x) for x in quality(params, noisy, clean))
         out[f"db_{fam}"] = round(p_den - p_noisy, 2)
@@ -192,24 +216,36 @@ def run(args) -> dict:
 
     log(f"device: {jax.devices()[0]}")
 
+    mc = None
     if live:
         h, w = H, W
-        frames = build_frames(h, w)
+        gt_spp = args.mc_gt_spp if args.mc_gt_spp >= 0 else 1024
+        frames = build_frames(h, w, mc_gt_spp=gt_spp)
         with tpu_guard.tpu_lock("bench.py"):
             headline = measure(args.model, args.border, frames, h, w)
             speed = None
             if args.speed_model and args.speed_model != args.model:
                 speed = measure(args.speed_model, args.border, frames, h, w)
+            if args.mc_model and args.mc_model not in (args.model,
+                                                       args.speed_model):
+                mc = measure(args.mc_model, args.border, frames, h, w)
     else:
-        # quality is platform-independent; resolution reduced so the CPU
-        # backend finishes in minutes, families and metrics unchanged
+        # quality is platform-independent; resolution AND the mc family's
+        # GT spp reduced so the CPU backend finishes in minutes (256 spp
+        # keeps the GT's residual noise power 18 dB under the 4-spp
+        # realization), families and metrics otherwise unchanged
         h, w = args.wedged_height, args.wedged_width
-        frames = build_frames(h, w)
+        gt_spp = args.mc_gt_spp if args.mc_gt_spp >= 0 else 256
+        frames = build_frames(h, w, mc_gt_spp=gt_spp)
         headline = measure(args.model, args.border, frames, h, w, latency=False)
         speed = None
         if args.speed_model and args.speed_model != args.model:
             speed = measure(args.speed_model, args.border, frames, h, w,
                             latency=False)
+        if args.mc_model and args.mc_model not in (args.model,
+                                                   args.speed_model):
+            mc = measure(args.mc_model, args.border, frames, h, w,
+                         latency=False)
 
     result = {
         "metric": "1080p_full_multipass_denoise_throughput",
@@ -228,6 +264,8 @@ def run(args) -> dict:
         )
     if speed is not None:
         result["speed"] = speed
+    if mc is not None:
+        result["mc"] = mc
     return result
 
 
@@ -244,6 +282,12 @@ def main() -> int:
                     help="headline (quality) preset; release weights from weights/")
     ap.add_argument("--speed-model", default="flagship",
                     help="speed-endpoint preset ('' skips the second measurement)")
+    ap.add_argument("--mc-model", default="flagship-mc",
+                    help="Monte-Carlo endpoint preset — the r5 ship for real "
+                    "renderer noise ('' skips the third measurement)")
+    ap.add_argument("--mc-gt-spp", type=int, default=-1,
+                    help="traced-MC family GT samples/pixel; -1 = auto "
+                    "(1024 live / 256 wedged), 0 disables the mc family")
     ap.add_argument("--probe-timeout", type=float, default=75.0,
                     help="wedge-probe bound (s); the probe is a subprocess")
     ap.add_argument("--wedged-height", type=int, default=WEDGED_H)

@@ -20,6 +20,7 @@ sys.path.insert(0, str(Path(__file__).resolve().parents[1]))
 
 def _args(**kw):
     base = dict(border=32, model="flagship", speed_model="",
+                mc_model="", mc_gt_spp=0,
                 probe_timeout=5.0, wedged_height=128, wedged_width=192)
     base.update(kw)
     return argparse.Namespace(**base)
@@ -59,3 +60,26 @@ def test_wedged_skips_speed_model_when_same(monkeypatch):
     monkeypatch.setattr(tpu_guard, "probe_compute", lambda timeout_s=60.0: False)
     result = bench.run(_args(speed_model="flagship"))  # same as --model
     assert "speed" not in result
+
+
+def test_wedged_mc_family_and_endpoint(monkeypatch):
+    """r5: the traced-MC quality column and the flagship-mc endpoint must
+    survive the wedged fallback too (tiny GT spp keeps the CPU render
+    test-sized; the family contract — genuine MC estimate vs converged GT
+    of the SAME estimator — is unchanged)."""
+    import bench
+    from deepdenoiser_tpu.utils import tpu_guard
+
+    monkeypatch.setattr(tpu_guard, "probe_compute", lambda timeout_s=60.0: False)
+    result = bench.run(_args(mc_model="flagship-mc", mc_gt_spp=64))
+
+    head = result["headline"]
+    assert np.isfinite(head["db_mc"])
+    mc = result["mc"]
+    assert mc["model"] == "flagship-mc" and mc["ms"] is None
+    for fam in ("fourier", "holdout", "holdout2", "mc"):
+        assert np.isfinite(mc[f"db_{fam}"])
+    # the mixed-MC fine-tune must beat the Gaussian-trained speed model on
+    # genuine MC noise when release weights are present
+    if mc["weights"] == "release" and head["weights"] == "release":
+        assert mc["db_mc"] > head["db_mc"]
