@@ -91,7 +91,26 @@ def main() -> int:
                         "missing #4). Takes the tpu_guard lock.")
     p.add_argument("--chain", type=int, default=8)
     p.add_argument("--samples", type=int, default=5)
+    p.add_argument("--out", default="/tmp/traffic_breakdown.txt",
+                   help="tee the FULL report to this file — session "
+                        "harnesses truncate long stdout (the r5 08:59 run "
+                        "lost its stage table that way); '' disables")
     args = p.parse_args()
+    if args.out:
+        class _Tee:
+            def __init__(self, *streams):
+                self.streams = streams
+
+            def write(self, s):
+                for st in self.streams:
+                    st.write(s)
+
+            def flush(self):
+                for st in self.streams:
+                    st.flush()
+
+        sys.stdout = _Tee(sys.stdout, open(args.out, "w", buffering=1))
+        print(f"[teeing report to {args.out}]", file=sys.stderr)
     if args.time:
         from deepdenoiser_tpu.utils import tpu_guard
 
